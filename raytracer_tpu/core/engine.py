@@ -1,0 +1,158 @@
+"""The RayTracer engine: progressive additive rendering over ray batches.
+
+Capability parity with the reference tracer driver (reference:
+raytracer_lib/src/raytracer/mod.rs:32-129):
+
+- `trace_frame_additive()` renders `rows_per_frame` (default 50,
+  mod.rs:87) rows, one jittered sample per pixel, additively into the
+  film, advancing a progressive row cursor with wraparound
+  (mod.rs:80-117), and returns the number of primary rays traced.
+- `get_tonemapped_pixels()` = film mean -> Reinhard -> packed u32
+  (mod.rs:120-129).
+- Camera motion helpers clear the film, like the keyboard handlers in
+  the native frontend (raytracer/src/main.rs:123-163).
+
+TPU-native design: one jitted step function renders a whole row-block
+wavefront (ray-gen + bounce levels + shadows) on device; the film is
+updated with a dense per-row-block add.  `render(spp)` is the batch-mode
+API the reference lacks (it only has the progressive loop).
+
+Known reference bug, reproduced only behind `compat_v_bug=True`: the
+reference computes the pixel row for ray generation as `idx / height`
+instead of `idx / width` (mod.rs:96), which scrambles ray rows whenever
+width != height.  Default is the corrected mapping (v = actual row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.film import Film
+from raytracer_tpu.core.intersectors import make_intersector
+from raytracer_tpu.core.tonemap import pack_u32, simple_map
+from raytracer_tpu.core.wavefront import RECURSIONS, SUB_SPREAD, trace_radiance
+from raytracer_tpu.models.camera import generate_rays
+
+# reference: oct_tree_intersector.rs:12
+DEFAULT_TRIANGLES_PER_LEAF = 70
+
+
+class RayTracer:
+    def __init__(self, scene, width: int, height: int,
+                 intersector=None,
+                 triangles_per_leaf: int = DEFAULT_TRIANGLES_PER_LEAF,
+                 accel: str = "cluster",
+                 recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
+                 rows_per_frame: int = 50,
+                 compat_v_bug: bool = False,
+                 seed: int = 0):
+        self.width = width
+        self.height = height
+        self.scene = scene
+        self.scene_buffers = scene.to_buffers()
+        self.scene_arrays = self.scene_buffers.to_device()
+        if not scene.cameras:
+            raise ValueError("scene has no camera (reference uses scene.cameras[0], lib.rs:36)")
+        self.camera = scene.cameras[0]
+        self.film = Film(width * height)
+        self.current_row = 0
+        self.rows_per_frame = rows_per_frame
+        self.recursions = recursions
+        self.spread = spread
+        self.compat_v_bug = compat_v_bug
+        self.intersector = intersector or make_intersector(
+            accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf)
+        self._key = jax.random.PRNGKey(seed)
+        self._step = self._make_step()
+
+    @classmethod
+    def from_scene(cls, scene, width, height, **kwargs):
+        """reference: build_raytracer (lib.rs:29-44)"""
+        return cls(scene, width, height, **kwargs)
+
+    # -- jitted wavefront step -------------------------------------------
+
+    def _make_step(self):
+        isect = self.intersector
+        W, H = self.width, self.height
+        rec, spread = self.recursions, self.spread
+
+        def step(scene, cam, px, py, key):
+            kj, kt = jax.random.split(key)
+            jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
+            origins, dirs = generate_rays(cam, px, py, jitter, W, H)
+            return trace_radiance(scene, origins, dirs, kt,
+                                  isect.closest, isect.shadow, rec, spread)
+
+        return jax.jit(step)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _row_block(self):
+        """Pixel coordinates for the next `rows_per_frame` rows (host)."""
+        rows = (self.current_row + np.arange(self.rows_per_frame)) % self.height
+        px = np.tile(np.arange(self.width, dtype=np.int32), self.rows_per_frame)
+        py_actual = np.repeat(rows.astype(np.int32), self.width)
+        idx = py_actual * self.width + px
+        if self.compat_v_bug:
+            # mod.rs:96 — v = idx / height with idx = row*width + i
+            py_ray = (idx // self.height).astype(np.int32)
+        else:
+            py_ray = py_actual
+        return jnp.asarray(px), jnp.asarray(py_ray), jnp.asarray(idx)
+
+    # -- reference API ----------------------------------------------------
+
+    def trace_frame_additive(self) -> int:
+        """One progressive frame: rows_per_frame rows, 1 spp, additive
+        (mod.rs:80-117).  Returns num primary rays (= rows * width)."""
+        px, py, idx = self._row_block()
+        radiance = self._step(self.scene_arrays, self.camera.params(),
+                              px, py, self._next_key())
+        self.film.add_samples(idx, radiance)
+        self.current_row = (self.current_row + self.rows_per_frame) % self.height
+        return self.rows_per_frame * self.width
+
+    def get_tonemapped_pixels(self) -> np.ndarray:
+        """Film mean -> Reinhard -> 0xAARRGGBB u32 (mod.rs:120-129)."""
+        hdr = self.film.get_pixels()
+        return np.asarray(pack_u32(simple_map(hdr)))
+
+    # -- camera controls (main.rs:123-163: every move clears the film) ----
+
+    def move_camera(self, x: float, y: float, z: float):
+        self.camera.move_rel(x, y, z)
+        self.film.clear()
+
+    def rotate_camera(self, x_radians: float = 0.0, y_radians: float = 0.0):
+        if x_radians:
+            self.camera.add_x_angle(x_radians)
+        if y_radians:
+            self.camera.add_y_angle(y_radians)
+        self.film.clear()
+
+    # -- batch-mode API (TPU-native; no reference equivalent) -------------
+
+    def render(self, spp: int = 1) -> np.ndarray:
+        """Render the full frame at `spp` samples per pixel; returns HDR
+        (H, W, 3) float32 mean radiance."""
+        blocks_per_frame = -(-self.height // self.rows_per_frame)
+        for _ in range(spp * blocks_per_frame):
+            self.trace_frame_additive()
+        return self.get_hdr()
+
+    def get_hdr(self) -> np.ndarray:
+        return np.asarray(self.film.get_pixels()).reshape(self.height, self.width, 3)
+
+    def render_image(self, spp: int = 1) -> np.ndarray:
+        """Tonemapped uint8 (H, W, 3) image."""
+        self.render(spp)
+        ldr = simple_map(self.film.get_pixels())
+        ldr = jnp.where(jnp.isnan(ldr), 1.0, jnp.clip(ldr, 0.0, 1.0))
+        return np.asarray((ldr * 255.0).astype(jnp.uint8)).reshape(
+            self.height, self.width, 3)

@@ -1,0 +1,107 @@
+"""Batched Phong direct-lighting with shadow rays.
+
+Capability parity with the reference shading (reference:
+raytracer_lib/src/raytracer/mod.rs:198-261), with every quirk preserved:
+
+- Geometric normals only: normalize(cross(v1-v0, v2-v0)), no vertex
+  normals (mod.rs:198-205); the normal is NOT flipped toward the viewer.
+- Per light: the triangle is skipped when dot(normal, to_light) < 0
+  (strictly; == 0 still contributes specular, mod.rs:218-220).
+- Shadow ray: origin offset by 0.01 * unnormalized to-light direction;
+  blocked iff the *closest* hit satisfies 0.01 < t < 1.0 (mod.rs:224-230).
+- Phong: diffuse (color or texture) * dot_ln + WHITE specular *
+  dot(view, reflected)^32 with view = normalize(ray.dir) pointing INTO
+  the surface and the dot not clamped before the power (mod.rs:239-257).
+  The reference's powf(x, 32.0) is even-integer exact, so we use repeated
+  squaring (x^32 >= 0 even for negative dot) — jnp.power would NaN on
+  negative bases.
+- Texture lookup: barycentric (u, v) straight into nearest-neighbour texel
+  coords (mod.rs:244-247 + texture.rs:21-27); the reference panics
+  out-of-bounds, we clamp.
+- Emissive is loaded but unused by shading, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pow32(x):
+    """x**32 via repeated squaring — exact even-power semantics for
+    negative bases (Rust powf(x, 32.0), mod.rs:255)."""
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    x16 = x8 * x8
+    return x16 * x16
+
+
+def geometric_normal(tri_verts, tri_idx):
+    """Face normal per hit (mod.rs:198-205). tri_idx: (R,) int32."""
+    tv = tri_verts[tri_idx]                 # (R, 3, 3)
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    n = jnp.cross(e1, e2)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.where(norm > 0, norm, 1.0)
+
+
+def _normalize(v):
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.where(n > 0, n, 1.0)
+
+
+def sample_diffuse(scene, tri_idx, u, v):
+    """Material diffuse per hit: flat color or nearest-neighbour texel at
+    the barycentric (u, v) (mod.rs:242-248).  Returns (R, 3)."""
+    geom = scene.tri_geom[tri_idx]                     # (R,)
+    rgb = scene.mat_diffuse_rgb[geom]                  # (R, 3)
+    tex_id = scene.mat_tex_id[geom]                    # (R,)
+    safe_tex = jnp.maximum(tex_id, 0)
+    hw = scene.tex_hw[safe_tex]                        # (R, 2)
+    h, w = hw[:, 0], hw[:, 1]
+    x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    texel = scene.tex_atlas[safe_tex, y, x]            # (R, 3)
+    return jnp.where((tex_id >= 0)[:, None], texel, rgb)
+
+
+def shade(scene, origins, dirs, hit, shadow_query):
+    """Phong direct lighting for a wavefront of hits (mod.rs:207-261).
+
+    origins/dirs: (R, 3) rays that produced the hits.
+    hit: dict from core.intersect.closest_hit.
+    shadow_query(origins, dirs) -> blocked (R,) runs the occlusion test
+    (injected so the acceleration structure is pluggable, mirroring the
+    reference's Intersector generic).
+
+    Returns radiance (R, 3), zero where hit['hit'] is False.
+    """
+    t, u, v = hit["t"], hit["u"], hit["v"]
+    tri_idx, hit_mask = hit["tri"], hit["hit"]
+
+    normal = geometric_normal(scene.tri_verts, tri_idx)      # (R, 3)
+    hit_point = origins + t[:, None] * dirs                  # (R, 3)
+    diffuse_rgb = sample_diffuse(scene, tri_idx, u, v)       # (R, 3)
+    view = _normalize(dirs)                                  # (R, 3)
+
+    accum = jnp.zeros_like(origins)
+    num_lights = scene.light_pos.shape[0]
+    for li in range(num_lights):  # static unroll; L is tiny (1 in all scenes)
+        lpos = scene.light_pos[li]
+        lcol = scene.light_color[li]
+        to_light = lpos - hit_point                          # unnormalized
+        tl_n = _normalize(to_light)
+        dot_ln = jnp.sum(normal * tl_n, axis=-1)             # (R,)
+        facing = dot_ln >= 0.0                               # mod.rs:218
+
+        shadow_origin = hit_point + 0.01 * to_light          # mod.rs:224-225
+        blocked = shadow_query(shadow_origin, to_light)      # (R,)
+
+        reflected = 2.0 * dot_ln[:, None] * normal - tl_n    # mod.rs:252-253
+        spec = pow32(jnp.sum(view * reflected, axis=-1))     # (R,)
+        contrib = (diffuse_rgb * dot_ln[:, None] + spec[:, None]) * lcol
+        lit = facing & ~blocked & hit_mask
+        accum = accum + jnp.where(lit[:, None], contrib, 0.0)
+
+    return jnp.where(hit_mask[:, None], accum, 0.0)
