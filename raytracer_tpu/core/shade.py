@@ -80,6 +80,11 @@ def shade(scene, origins, dirs, hit, shadow_query):
     t, u, v = hit["t"], hit["u"], hit["v"]
     tri_idx, hit_mask = hit["tri"], hit["hit"]
 
+    # Sanitize t for missed rays (t = BIG_T sentinel): their radiance is
+    # masked to zero below, but letting BIG_T reach the position math
+    # creates inf intermediates whose cotangents become NaN under autodiff
+    # even through jnp.where.
+    t = jnp.where(hit_mask, t, 0.0)
     normal = geometric_normal(scene.tri_verts, tri_idx)      # (R, 3)
     hit_point = origins + t[:, None] * dirs                  # (R, 3)
     diffuse_rgb = sample_diffuse(scene, tri_idx, u, v)       # (R, 3)

@@ -70,7 +70,11 @@ def trace_radiance(scene, origins, dirs, key, closest_fn, shadow_fn,
             break
         b = spread * (recursions - level)  # num_sub_rays, mod.rs:150
         normal = geometric_normal(scene.tri_verts, hit["tri"])
-        hit_point = cur_o + hit["t"][:, None] * cur_d
+        # missed parents: t sentinel (BIG_T) would launch children from
+        # ~1e38 origins -> inf/NaN in their (masked) intersections and
+        # NaN gradients; spawn them from the parent origin instead
+        t_safe = jnp.where(alive, hit["t"], 0.0)
+        hit_point = cur_o + t_safe[:, None] * cur_d
         key, sub = jax.random.split(key)
         n_rep = jnp.repeat(normal, b, axis=0)
         hp_rep = jnp.repeat(hit_point, b, axis=0)

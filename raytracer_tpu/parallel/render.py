@@ -1,0 +1,134 @@
+"""Sharded wavefront rendering and the sharded inverse-rendering step.
+
+Multi-chip execution of the core pipeline via shard_map over a
+`jax.sharding.Mesh`: pixels (rays) shard across devices, the scene is
+replicated, and reductions use XLA collectives (psum) over the mesh
+axis — the TPU-native replacement for the reference's single-threaded
+render loop + its render/GUI thread handoff
+(reference: raytracer/src/main.rs:194-253; see SURVEY §2 parallelism
+inventory).
+
+Gradient flow: in `make_sharded_train_step`, per-device pixel-loss terms
+psum into the global loss; shard_map's transpose rule then all-reduces
+the replicated scene-parameter gradients across devices automatically —
+the psum-overlapped-with-backward design from BASELINE.json's north
+star.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from raytracer_tpu.core.wavefront import trace_radiance
+from raytracer_tpu.models.camera import generate_rays
+from raytracer_tpu.parallel.mesh import RAY_AXIS
+
+
+def _per_device_keys(key, mesh):
+    """One fold of the frame key per device, laid out (n_dev, 2) so it
+    shards one row per device."""
+    n = mesh.devices.size
+    return jax.random.split(key, n)
+
+
+def make_sharded_render(mesh, intersector, width: int, height: int,
+                        recursions: int = 2, spread: int = 1):
+    """Returns render(scene, cam, px, py, keys) -> radiance (R, 3), with
+    px/py/radiance sharded over the `rays` axis and scene/cam replicated.
+    R must divide evenly by the mesh size."""
+
+    def local(scene, cam, px, py, keys):
+        key = keys[0]  # this device's row of the (n_dev, 2) key array
+        kj, kt = jax.random.split(key)
+        jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
+        origins, dirs = generate_rays(cam, px, py, jitter, width, height)
+        return trace_radiance(scene, origins, dirs, kt,
+                              intersector.closest, intersector.shadow,
+                              recursions, spread)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render(scene, cam, px, py, keys):
+        return sharded(scene, cam, px, py, keys)
+
+    return render
+
+
+def make_sharded_train_step(mesh, intersector, width: int, height: int,
+                            optimizer, recursions: int = 2, spread: int = 1):
+    """Sharded inverse-rendering step (BASELINE.json config #5 analogue):
+    optimize scene parameters against target pixel values.
+
+    Returns step(opt_state, scene, cam, px, py, target, keys) ->
+    (loss, new_opt_state, new_scene).  px/py/target shard over rays;
+    scene replicates; scene-parameter grads all-reduce via shard_map's
+    psum transpose.
+    """
+
+    def local_loss_terms(scene, cam, px, py, target, keys):
+        key = keys[0]
+        kj, kt = jax.random.split(key)
+        jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
+        origins, dirs = generate_rays(cam, px, py, jitter, width, height)
+        rad = trace_radiance(scene, origins, dirs, kt,
+                             intersector.closest, intersector.shadow,
+                             recursions, spread)
+        err = rad - target
+        # psum the per-shard sum so every device holds the global loss
+        total = jax.lax.psum(jnp.sum(err * err), RAY_AXIS)
+        count = jax.lax.psum(jnp.float32(err.size), RAY_AXIS)
+        return total / count
+
+    sharded_loss = shard_map(
+        local_loss_terms, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_fn(diff_scene, scene, cam, px, py, target, keys):
+        merged = _merge_scene(scene, diff_scene)
+        return sharded_loss(merged, cam, px, py, target, keys)
+
+    @jax.jit
+    def step(opt_state, diff_scene, scene, cam, px, py, target, keys):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            diff_scene, scene, cam, px, py, target, keys)
+        updates, opt_state = optimizer.update(grads, opt_state, diff_scene)
+        import optax
+        diff_scene = optax.apply_updates(diff_scene, updates)
+        return loss, opt_state, diff_scene
+
+    return step
+
+
+def _merge_scene(scene, diff_parts: dict):
+    """Overlay optimized leaves (dict of field -> array) onto a scene
+    pytree."""
+    import dataclasses
+    return dataclasses.replace(scene, **diff_parts) if dataclasses.is_dataclass(scene) \
+        else scene
+
+
+def pixel_grid(width: int, height: int, pad_to: int = 1):
+    """Full-frame pixel coordinate arrays, padded so R divides the mesh."""
+    import numpy as np
+    px = np.tile(np.arange(width, dtype=np.int32), height)
+    py = np.repeat(np.arange(height, dtype=np.int32), width)
+    r = len(px)
+    pad = (-r) % pad_to
+    if pad:
+        px = np.concatenate([px, np.zeros(pad, np.int32)])
+        py = np.concatenate([py, np.zeros(pad, np.int32)])
+    return px, py, r
