@@ -138,7 +138,7 @@ def test_xla_cluster_matches_brute():
 
 def test_pallas_interpret_matches_xla():
     tris = random_scene(300, seed=11)
-    o, d = random_rays(128, seed=12)
+    o, d = random_rays(1024, seed=12)  # 8 ray-blocks = one output block
     grid = build_cluster_grid(tris, triangles_per_leaf=70)
     aabb8 = np.zeros((grid.num_clusters, 8), np.float32)
     aabb8[:, :3], aabb8[:, 3:6] = grid.aabb_min, grid.aabb_max
