@@ -22,6 +22,7 @@ W = int(os.environ.get("BENCH_WIDTH", 1024))
 H = int(os.environ.get("BENCH_HEIGHT", 1024))
 SPP = int(os.environ.get("BENCH_SPP", 1))
 SCENE = os.environ.get("BENCH_SCENE", "data/thai2.dae")
+TPL = int(os.environ.get("BENCH_TPL", 512))
 TARGET_MRAYS = 100.0
 
 
@@ -29,7 +30,7 @@ def main():
     import raytracer_tpu as rtx
 
     rt = rtx.create_raytracer_from_file(SCENE, width=W, height=H,
-                                        accel="cluster")
+                                        accel="cluster", triangles_per_leaf=TPL)
     # warmup: compile the step at the row-block shape
     rt.trace_frame_additive()
     import jax

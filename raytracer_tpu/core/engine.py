@@ -66,6 +66,7 @@ class RayTracer:
         self.intersector = intersector or make_intersector(
             accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf)
         self._key = jax.random.PRNGKey(seed)
+        self._row_block_cache = {}
         self._step = self._make_step()
 
     @classmethod
@@ -93,18 +94,34 @@ class RayTracer:
         self._key, k = jax.random.split(self._key)
         return k
 
+    # Spatial tile size for ray ordering: rays that share a 128-lane
+    # kernel block come from a compact 16x8 pixel tile, so cluster-AABB
+    # culling and early-t pruning act on coherent bundles instead of
+    # 128-pixel scanline strips.
+    TILE_W, TILE_H = 16, 8
+
     def _row_block(self):
-        """Pixel coordinates for the next `rows_per_frame` rows (host)."""
+        """Pixel coordinates for the next `rows_per_frame` rows (host),
+        tile-swizzled for block coherence.  Cached per cursor position
+        (the cursor cycles through a small set of start rows)."""
+        cached = self._row_block_cache.get(self.current_row)
+        if cached is not None:
+            return cached
         rows = (self.current_row + np.arange(self.rows_per_frame)) % self.height
         px = np.tile(np.arange(self.width, dtype=np.int32), self.rows_per_frame)
         py_actual = np.repeat(rows.astype(np.int32), self.width)
+        order = np.lexsort((px % self.TILE_W, py_actual % self.TILE_H,
+                            px // self.TILE_W, py_actual // self.TILE_H))
+        px, py_actual = px[order], py_actual[order]
         idx = py_actual * self.width + px
         if self.compat_v_bug:
             # mod.rs:96 — v = idx / height with idx = row*width + i
             py_ray = (idx // self.height).astype(np.int32)
         else:
             py_ray = py_actual
-        return jnp.asarray(px), jnp.asarray(py_ray), jnp.asarray(idx)
+        out = (jnp.asarray(px), jnp.asarray(py_ray), jnp.asarray(idx))
+        self._row_block_cache[self.current_row] = out
+        return out
 
     # -- reference API ----------------------------------------------------
 
@@ -149,10 +166,15 @@ class RayTracer:
     def get_hdr(self) -> np.ndarray:
         return np.asarray(self.film.get_pixels()).reshape(self.height, self.width, 3)
 
-    def render_image(self, spp: int = 1) -> np.ndarray:
-        """Tonemapped uint8 (H, W, 3) image."""
-        self.render(spp)
+    def get_tonemapped_image(self) -> np.ndarray:
+        """Current film as a tonemapped uint8 (H, W, 3) image (unsampled
+        pixels white, like the u32 path)."""
         ldr = simple_map(self.film.get_pixels())
         ldr = jnp.where(jnp.isnan(ldr), 1.0, jnp.clip(ldr, 0.0, 1.0))
         return np.asarray((ldr * 255.0).astype(jnp.uint8)).reshape(
             self.height, self.width, 3)
+
+    def render_image(self, spp: int = 1) -> np.ndarray:
+        """Tonemapped uint8 (H, W, 3) image."""
+        self.render(spp)
+        return self.get_tonemapped_image()

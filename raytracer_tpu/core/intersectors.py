@@ -28,11 +28,13 @@ class BruteForceIntersector:
     def __init__(self, chunk: int = 512):
         self.chunk = chunk
 
-    def closest(self, scene, origins, dirs):
+    def closest(self, scene, origins, dirs, alive=None):
         from raytracer_tpu.core.intersect import closest_hit
+        # `alive` is a block-skipping hint; the dense scan ignores it
+        # (and stays cleanly differentiable).
         return closest_hit(origins, dirs, scene.tri_verts, chunk=self.chunk)
 
-    def shadow(self, scene, origins, dirs):
+    def shadow(self, scene, origins, dirs, alive=None):
         from raytracer_tpu.core.intersect import any_hit_window
         return any_hit_window(origins, dirs, scene.tri_verts, chunk=self.chunk)
 

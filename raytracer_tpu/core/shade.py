@@ -101,7 +101,11 @@ def shade(scene, origins, dirs, hit, shadow_query):
         facing = dot_ln >= 0.0                               # mod.rs:218
 
         shadow_origin = hit_point + 0.01 * to_light          # mod.rs:224-225
-        blocked = shadow_query(shadow_origin, to_light)      # (R,)
+        # only rays that hit AND face the light need occlusion tests
+        # (back-facing rays are culled before the shadow test in the
+        # reference too, mod.rs:218-221); the alive mask lets
+        # block-skipping intersectors skip dead lanes outright
+        blocked = shadow_query(shadow_origin, to_light, hit_mask & facing)
 
         reflected = 2.0 * dot_ln[:, None] * normal - tl_n    # mod.rs:252-253
         spec = pow32(jnp.sum(view * reflected, axis=-1))     # (R,)

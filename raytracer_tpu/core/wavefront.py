@@ -59,9 +59,11 @@ def trace_radiance(scene, origins, dirs, key, closest_fn, shadow_fn,
     fan = 1
 
     for level in range(recursions + 1):
-        hit = closest_fn(scene, cur_o, cur_d)
+        hit = closest_fn(scene, cur_o, cur_d, alive=parent_alive)
+        pa = parent_alive
         rad = shade(scene, cur_o, cur_d, hit,
-                    lambda o, d: shadow_fn(scene, o, d))
+                    lambda o, d, alive, _pa=pa: shadow_fn(scene, o, d,
+                                                          alive=alive & _pa))
         alive = parent_alive & hit["hit"]
         rad = jnp.where(alive[:, None], rad, 0.0)
         radiance = radiance + weight * rad.reshape(R, fan, 3).sum(axis=1)

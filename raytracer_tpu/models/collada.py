@@ -83,11 +83,13 @@ def _localname(tag: str) -> str:
 
 
 def _floats(text: str) -> np.ndarray:
-    return np.array([float(x) for x in text.split()], dtype=F)
+    from raytracer_tpu import native
+    return native.parse_floats(text)
 
 
 def _ints(text: str) -> np.ndarray:
-    return np.array([int(x) for x in text.split()], dtype=np.int64)
+    from raytracer_tpu import native
+    return native.parse_ints(text)
 
 
 def _child(elem, name):

@@ -55,6 +55,13 @@ class ClusterGrid:
                                padding rows are all-zero (degenerate, can
                                never pass the |det| >= eps test)
       aabb_min/max (K, 3)     — per-cluster bounds
+      orders    (6, K) int32  — cluster visit order sorted by centroid
+                               along +x,-x,+y,-y,+z,-z: the traversal
+                               picks the order matching a ray block's
+                               dominant direction for approximate
+                               front-to-back visiting (the TPU analogue
+                               of the octree's ordered descent,
+                               oct_tree_intersector.rs:176-185)
     """
     cluster_size: int
     num_clusters: int
@@ -65,6 +72,7 @@ class ClusterGrid:
     e2: np.ndarray
     aabb_min: np.ndarray
     aabb_max: np.ndarray
+    orders: np.ndarray
 
 
 def round_up(x: int, m: int) -> int:
@@ -86,12 +94,11 @@ def build_cluster_grid(tri_verts: np.ndarray, triangles_per_leaf: int = 70,
             v0=np.zeros((K, C, 3), F), e1=np.zeros((K, C, 3), F),
             e2=np.zeros((K, C, 3), F),
             aabb_min=np.zeros((K, 3), F), aabb_max=np.zeros((K, 3), F),
+            orders=np.zeros((6, K), np.int32),
         )
 
-    centroids = tri_verts.mean(axis=1)
-    lo = tri_verts.reshape(-1, 3).min(axis=0)
-    hi = tri_verts.reshape(-1, 3).max(axis=0)
-    order = np.argsort(morton_codes(centroids, lo, hi), kind="stable").astype(np.int64)
+    from raytracer_tpu import native
+    order = native.morton_order(tri_verts).astype(np.int64)
 
     K = round_up(N, C) // C
     pad = K * C - N
@@ -113,8 +120,15 @@ def build_cluster_grid(tri_verts: np.ndarray, triangles_per_leaf: int = 70,
     aabb_min[empty] = 0.0
     aabb_max[empty] = 0.0
 
+    centers = 0.5 * (aabb_min + aabb_max)          # (K, 3)
+    orders = np.zeros((6, K), np.int32)
+    for axis in range(3):
+        fwd = np.argsort(centers[:, axis], kind="stable").astype(np.int32)
+        orders[2 * axis] = fwd          # rays travelling +axis: near first
+        orders[2 * axis + 1] = fwd[::-1]
+
     return ClusterGrid(
         cluster_size=C, num_clusters=K, num_triangles=N,
         perm=perm, v0=v0, e1=e1, e2=e2,
-        aabb_min=aabb_min, aabb_max=aabb_max,
+        aabb_min=aabb_min, aabb_max=aabb_max, orders=orders,
     )

@@ -145,12 +145,13 @@ def test_pallas_interpret_matches_xla():
     tp, up, vp, ip = pallas_cluster_closest(
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(grid.v0),
         jnp.asarray(grid.e1), jnp.asarray(grid.e2), jnp.asarray(aabb8),
-        interpret=True)
+        jnp.asarray(grid.orders), interpret=True)
     tx, ux, vx, ix = xla_cluster_closest(
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(grid.v0),
         jnp.asarray(grid.e1), jnp.asarray(grid.e2),
         jnp.asarray(grid.aabb_min), jnp.asarray(grid.aabb_max))
-    np.testing.assert_allclose(np.asarray(tp), np.asarray(tx), rtol=1e-6)
+    # the MXU formulation reassociates the MT arithmetic -> small f32 drift
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(tx), rtol=1e-4)
     hit = np.asarray(tx) < BIG_T
     np.testing.assert_array_equal(np.asarray(ip)[hit], np.asarray(ix)[hit])
     np.testing.assert_allclose(np.asarray(up)[hit], np.asarray(ux)[hit], rtol=1e-4, atol=1e-5)
