@@ -39,6 +39,27 @@ SUB_SPREAD = 1
 # Hit-point offset along the new direction (mod.rs:193).
 HIT_OFFSET = 1e-5
 
+# Bounce rays are regrouped before traversal: rays within a neighborhood
+# of this many lanes are stably sorted by direction octant, so traversal
+# blocks see bundles that share both origin locality (inherited from the
+# parent pixel tiles) and a direction octant — the wavefront analogue of
+# GPU ray-sorting.
+SORT_SEGMENT = 1024
+
+
+def _octant_sort(origins, dirs, alive):
+    """Returns (perm, inv_perm) grouping rays by (segment, dir octant),
+    dead rays last within each segment."""
+    R = dirs.shape[0]
+    idx = jnp.arange(R, dtype=jnp.int32)
+    octant = ((dirs[:, 0] >= 0).astype(jnp.int32)
+              + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
+              + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
+    key = (idx // SORT_SEGMENT) * 16 + jnp.where(alive, octant, 15)
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
 
 def trace_radiance(scene, origins, dirs, key, closest_fn, shadow_fn,
                    recursions: int = RECURSIONS, spread: int = SUB_SPREAD):
@@ -59,7 +80,14 @@ def trace_radiance(scene, origins, dirs, key, closest_fn, shadow_fn,
     fan = 1
 
     for level in range(recursions + 1):
-        hit = closest_fn(scene, cur_o, cur_d, alive=parent_alive)
+        if level == 0:
+            hit = closest_fn(scene, cur_o, cur_d, alive=parent_alive)
+        else:
+            # regroup bounce rays for block coherence, then un-permute
+            perm, inv = _octant_sort(cur_o, cur_d, parent_alive)
+            hit_s = closest_fn(scene, cur_o[perm], cur_d[perm],
+                               alive=parent_alive[perm])
+            hit = {k: v[inv] for k, v in hit_s.items()}
         pa = parent_alive
         rad = shade(scene, cur_o, cur_d, hit,
                     lambda o, d, alive, _pa=pa: shadow_fn(scene, o, d,

@@ -82,6 +82,17 @@ class Scene:
     def num_triangles(self) -> int:
         return sum(g.num_triangles for g in self.geometries)
 
+    def apply_transform(self, matrix16) -> None:
+        """Re-transform every geometry's vertices by a flat [16] matrix
+        (reference: Scene::apply_transform, scene/mod.rs:33-43 — dead in
+        the reference's render path since transforms bake at load, kept
+        for API parity and scene editing)."""
+        m = np.asarray(matrix16, dtype=F).reshape(4, 4)
+        for g in self.geometries:
+            hom = np.concatenate(
+                [g.vertices, np.ones((len(g.vertices), 1), dtype=F)], axis=1)
+            g.vertices = (hom @ m)[:, :3].astype(F)
+
     def to_buffers(self) -> "SceneBuffers":
         return SceneBuffers.from_scene(self)
 
