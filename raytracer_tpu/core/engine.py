@@ -67,6 +67,8 @@ class RayTracer:
             accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf)
         self._key = jax.random.PRNGKey(seed)
         self._row_block_cache = {}
+        self._sharded_render = None
+        self._sharded_mesh = None
         self._step = self._make_step()
 
     @classmethod
@@ -178,3 +180,29 @@ class RayTracer:
         """Tonemapped uint8 (H, W, 3) image."""
         self.render(spp)
         return self.get_tonemapped_image()
+
+    # -- multi-chip rendering (parallel/render.py) ------------------------
+
+    def render_sharded(self, spp: int = 1, mesh=None) -> np.ndarray:
+        """Full-frame render with pixels sharded over a device mesh
+        (rays data-parallel, scene replicated).  Accumulates into the
+        film like `render`; returns the HDR image."""
+        from raytracer_tpu.parallel.mesh import make_mesh
+        from raytracer_tpu.parallel.render import (
+            _per_device_keys, make_sharded_render, pixel_grid)
+        mesh = mesh or make_mesh()
+        if self._sharded_render is None or self._sharded_mesh is not mesh:
+            self._sharded_render = make_sharded_render(
+                mesh, self.intersector, self.width, self.height,
+                self.recursions, self.spread)
+            self._sharded_mesh = mesh
+        px, py, real = pixel_grid(self.width, self.height,
+                                  pad_to=mesh.devices.size)
+        pxj, pyj = jnp.asarray(px), jnp.asarray(py)
+        for _ in range(spp):
+            keys = _per_device_keys(self._next_key(), mesh)
+            rad = self._sharded_render(self.scene_arrays,
+                                       self.camera.params(), pxj, pyj, keys)
+            self.film.add_samples(
+                jnp.asarray(py[:real] * self.width + px[:real]), rad[:real])
+        return self.get_hdr()
