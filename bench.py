@@ -27,13 +27,17 @@ TARGET_MRAYS = 100.0
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/rtx_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import raytracer_tpu as rtx
 
     rt = rtx.create_raytracer_from_file(SCENE, width=W, height=H,
                                         accel="cluster", triangles_per_leaf=TPL)
     # warmup: compile the step at the row-block shape
     rt.trace_frame_additive()
-    import jax
     jax.block_until_ready(rt.film.pixel_sum)
 
     blocks_per_frame = -(-H // rt.rows_per_frame)
