@@ -87,8 +87,8 @@ class RayTracer:
             kj, kt = jax.random.split(key)
             jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
-            return trace_radiance(scene, origins, dirs, kt,
-                                  isect.closest, isect.shadow, rec, spread)
+            return trace_radiance(scene, origins, dirs, kt, isect,
+                                  rec, spread)
 
         return jax.jit(step)
 

@@ -28,11 +28,15 @@ class BruteForceIntersector:
     def __init__(self, chunk: int = 512):
         self.chunk = chunk
 
-    def closest(self, scene, origins, dirs, alive=None):
+    def query(self, scene, origins, dirs, alive=None, t_limit=None):
+        """Generic limited closest-hit.  The dense scan ignores `alive`
+        and `t_limit` (the limit only culls work; the full closest hit
+        is a correct superset) and stays cleanly differentiable."""
         from raytracer_tpu.core.intersect import closest_hit
-        # `alive` is a block-skipping hint; the dense scan ignores it
-        # (and stays cleanly differentiable).
         return closest_hit(origins, dirs, scene.tri_verts, chunk=self.chunk)
+
+    def closest(self, scene, origins, dirs, alive=None):
+        return self.query(scene, origins, dirs)
 
     def shadow(self, scene, origins, dirs, alive=None):
         from raytracer_tpu.core.intersect import any_hit_window

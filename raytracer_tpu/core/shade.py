@@ -66,51 +66,72 @@ def sample_diffuse(scene, tri_idx, u, v):
     return jnp.where((tex_id >= 0)[:, None], texel, rgb)
 
 
-def shade(scene, origins, dirs, hit, shadow_query):
-    """Phong direct lighting for a wavefront of hits (mod.rs:207-261).
-
-    origins/dirs: (R, 3) rays that produced the hits.
-    hit: dict from core.intersect.closest_hit.
-    shadow_query(origins, dirs) -> blocked (R,) runs the occlusion test
-    (injected so the acceleration structure is pluggable, mirroring the
-    reference's Intersector generic).
-
-    Returns radiance (R, 3), zero where hit['hit'] is False.
+def prepare_shade(scene, origins, dirs, hit):
+    """Phase 1 of Phong shading (mod.rs:207-261): everything except the
+    occlusion results.  Returns a context dict including the shadow-ray
+    batch for all lights, flattened light-major to (L*R, 3), so the
+    caller can fold the occlusion queries into a larger traversal batch.
     """
     t, u, v = hit["t"], hit["u"], hit["v"]
     tri_idx, hit_mask = hit["tri"], hit["hit"]
 
     # Sanitize t for missed rays (t = BIG_T sentinel): their radiance is
-    # masked to zero below, but letting BIG_T reach the position math
-    # creates inf intermediates whose cotangents become NaN under autodiff
-    # even through jnp.where.
+    # masked to zero in phase 2, but letting BIG_T reach the position
+    # math creates inf intermediates whose cotangents become NaN under
+    # autodiff even through jnp.where.
     t = jnp.where(hit_mask, t, 0.0)
     normal = geometric_normal(scene.tri_verts, tri_idx)      # (R, 3)
     hit_point = origins + t[:, None] * dirs                  # (R, 3)
     diffuse_rgb = sample_diffuse(scene, tri_idx, u, v)       # (R, 3)
     view = _normalize(dirs)                                  # (R, 3)
 
-    accum = jnp.zeros_like(origins)
-    num_lights = scene.light_pos.shape[0]
-    for li in range(num_lights):  # static unroll; L is tiny (1 in all scenes)
-        lpos = scene.light_pos[li]
-        lcol = scene.light_color[li]
-        to_light = lpos - hit_point                          # unnormalized
-        tl_n = _normalize(to_light)
-        dot_ln = jnp.sum(normal * tl_n, axis=-1)             # (R,)
-        facing = dot_ln >= 0.0                               # mod.rs:218
+    L = scene.light_pos.shape[0]
+    to_light = scene.light_pos[:, None, :] - hit_point[None, :, :]  # (L,R,3)
+    tl_n = _normalize(to_light)
+    dot_ln = jnp.sum(normal[None] * tl_n, axis=-1)           # (L, R)
+    facing = dot_ln >= 0.0                                   # mod.rs:218
+    shadow_origin = hit_point[None] + 0.01 * to_light        # mod.rs:224-225
 
-        shadow_origin = hit_point + 0.01 * to_light          # mod.rs:224-225
-        # only rays that hit AND face the light need occlusion tests
-        # (back-facing rays are culled before the shadow test in the
-        # reference too, mod.rs:218-221); the alive mask lets
-        # block-skipping intersectors skip dead lanes outright
-        blocked = shadow_query(shadow_origin, to_light, hit_mask & facing)
+    # only rays that hit AND face the light need occlusion tests
+    # (the reference culls back-facing before its shadow test too,
+    # mod.rs:218-221); aliveness lets block-skipping intersectors skip
+    shadow_alive = hit_mask[None] & facing                   # (L, R)
 
-        reflected = 2.0 * dot_ln[:, None] * normal - tl_n    # mod.rs:252-253
-        spec = pow32(jnp.sum(view * reflected, axis=-1))     # (R,)
-        contrib = (diffuse_rgb * dot_ln[:, None] + spec[:, None]) * lcol
-        lit = facing & ~blocked & hit_mask
+    return dict(
+        hit_mask=hit_mask, normal=normal, hit_point=hit_point,
+        diffuse_rgb=diffuse_rgb, view=view, tl_n=tl_n, dot_ln=dot_ln,
+        facing=facing, num_lights=L,
+        shadow_origins=shadow_origin.reshape(L * hit_point.shape[0], 3),
+        shadow_dirs=to_light.reshape(L * hit_point.shape[0], 3),
+        shadow_alive=shadow_alive.reshape(-1),
+    )
+
+
+def finish_shade(scene, ctx, blocked_flat):
+    """Phase 2: combine occlusion results (blocked_flat: (L*R,)) into
+    radiance (R, 3), zero where the primary ray missed."""
+    R = ctx["hit_point"].shape[0]
+    blocked = blocked_flat.reshape(ctx["num_lights"], R)
+    accum = jnp.zeros((R, 3), dtype=ctx["hit_point"].dtype)
+    for li in range(ctx["num_lights"]):
+        dot_ln = ctx["dot_ln"][li]
+        reflected = (2.0 * dot_ln[:, None] * ctx["normal"]
+                     - ctx["tl_n"][li])                      # mod.rs:252-253
+        spec = pow32(jnp.sum(ctx["view"] * reflected, axis=-1))
+        contrib = (ctx["diffuse_rgb"] * dot_ln[:, None]
+                   + spec[:, None]) * scene.light_color[li]
+        lit = ctx["facing"][li] & ~blocked[li] & ctx["hit_mask"]
         accum = accum + jnp.where(lit[:, None], contrib, 0.0)
+    return jnp.where(ctx["hit_mask"][:, None], accum, 0.0)
 
-    return jnp.where(hit_mask[:, None], accum, 0.0)
+
+def shade(scene, origins, dirs, hit, shadow_query):
+    """Phong direct lighting for a wavefront of hits (mod.rs:207-261) —
+    the single-call form: runs the occlusion queries immediately via
+    shadow_query(origins, dirs, alive) -> blocked.  The wavefront
+    pipeline uses prepare_shade/finish_shade instead to batch occlusion
+    into larger traversals."""
+    ctx = prepare_shade(scene, origins, dirs, hit)
+    blocked = shadow_query(ctx["shadow_origins"], ctx["shadow_dirs"],
+                           ctx["shadow_alive"])
+    return finish_shade(scene, ctx, blocked)

@@ -22,6 +22,13 @@ dead rays (missed parents) are masked, not compacted, because the tree
 is shallow and fixed (fixed-budget masking; see SURVEY §7 'stream
 compaction').  Child radiance folds back to its originating pixel with a
 reshape-sum, since fan-out is contiguous repetition.
+
+Shadow queries use a static t-limit at the light distance
+(mod.rs:224-230's window), which the kernel specializes on at compile
+time.  (Folding shadow + next-level rays into one per-ray-limited
+launch was tried and measured slower: mixed-purpose batches dilute
+block-level culling and the per-ray limit stream costs more than it
+saves.)
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core.sampler import sample_hemisphere
-from raytracer_tpu.core.shade import geometric_normal, shade
+from raytracer_tpu.core.shade import finish_shade, prepare_shade
 
 # Compile-time knobs of the reference render loop (mod.rs:81-82).
 RECURSIONS = 2
@@ -38,6 +45,11 @@ SUB_SPREAD = 1
 
 # Hit-point offset along the new direction (mod.rs:193).
 HIT_OFFSET = 1e-5
+
+# Shadow occluder window (mod.rs:227): 0.01 < t < 1.0 along the
+# unnormalized to-light direction.
+SHADOW_T_MIN = 0.01
+SHADOW_T_MAX = 1.0
 
 # Bounce rays are regrouped before traversal: rays within a neighborhood
 # of this many lanes are stably sorted by direction octant, so traversal
@@ -61,13 +73,19 @@ def _octant_sort(origins, dirs, alive):
     return perm, inv
 
 
-def trace_radiance(scene, origins, dirs, key, closest_fn, shadow_fn,
+def _window(res, n):
+    """Shadow blocked mask from the first n rays of a query result."""
+    t = res["t"][:n]
+    return res["hit"][:n] & (t > SHADOW_T_MIN) & (t < SHADOW_T_MAX)
+
+
+def trace_radiance(scene, origins, dirs, key, isect,
                    recursions: int = RECURSIONS, spread: int = SUB_SPREAD):
     """Radiance for R primary rays, bounce tree unrolled.
 
-    closest_fn(scene, o, d) -> hit dict; shadow_fn(scene, o, d) -> blocked:
-    the pluggable acceleration structure (the reference's Intersector
-    generic, accel_intersect.rs:10-13).
+    isect: pluggable acceleration structure exposing
+    query(scene, o, d, alive, limits) -> hit dict (the reference's
+    Intersector generic, accel_intersect.rs:10-13).
 
     Returns (R, 3) radiance; rays that miss everything return black
     (mod.rs:99-110).
@@ -75,44 +93,58 @@ def trace_radiance(scene, origins, dirs, key, closest_fn, shadow_fn,
     R = origins.shape[0]
     radiance = jnp.zeros((R, 3), dtype=jnp.float32)
     cur_o, cur_d = origins, dirs
-    parent_alive = jnp.ones((origins.shape[0],), dtype=bool)
+    parent_alive = jnp.ones((R,), dtype=bool)
     weight = 1.0
     fan = 1
 
+    hit = isect.query(scene, cur_o, cur_d, alive=parent_alive)
+
     for level in range(recursions + 1):
-        if level == 0:
-            hit = closest_fn(scene, cur_o, cur_d, alive=parent_alive)
-        else:
-            # regroup bounce rays for block coherence, then un-permute
-            perm, inv = _octant_sort(cur_o, cur_d, parent_alive)
-            hit_s = closest_fn(scene, cur_o[perm], cur_d[perm],
-                               alive=parent_alive[perm])
-            hit = {k: v[inv] for k, v in hit_s.items()}
-        pa = parent_alive
-        rad = shade(scene, cur_o, cur_d, hit,
-                    lambda o, d, alive, _pa=pa: shadow_fn(scene, o, d,
-                                                          alive=alive & _pa))
+        ctx = prepare_shade(scene, cur_o, cur_d, hit)
+        n_shadow = ctx["shadow_origins"].shape[0]
+        shadow_alive = (ctx["shadow_alive"]
+                        & jnp.tile(parent_alive, ctx["num_lights"]))
         alive = parent_alive & hit["hit"]
-        rad = jnp.where(alive[:, None], rad, 0.0)
+
+        if level < recursions:
+            b = spread * (recursions - level)  # num_sub_rays, mod.rs:150
+            key, sub = jax.random.split(key)
+            n_rep = jnp.repeat(ctx["normal"], b, axis=0)
+            # hit_point is sanitized in prepare_shade: missed parents
+            # spawn from their (finite) parent origin, keeping the
+            # masked child intersections NaN-free under autodiff
+            hp_rep = jnp.repeat(ctx["hit_point"], b, axis=0)
+            child_d = sample_hemisphere(sub, n_rep)
+            child_o = hp_rep + HIT_OFFSET * child_d      # mod.rs:192-193
+            child_alive = jnp.repeat(alive, b, axis=0)
+
+            # occlusion queries for this level (t-limited at the light)
+            res = isect.query(scene, ctx["shadow_origins"],
+                              ctx["shadow_dirs"], alive=shadow_alive,
+                              t_limit=SHADOW_T_MAX)
+            blocked = _window(res, n_shadow)
+            # regroup children for block coherence, traverse, un-permute
+            # (folding this into the shadow launch measured slower:
+            # mixed-purpose batches dilute block-level culling)
+            perm, inv = _octant_sort(child_o, child_d, child_alive)
+            hit_s = isect.query(scene, child_o[perm], child_d[perm],
+                                alive=child_alive[perm])
+            hit = {k: v[inv] for k, v in hit_s.items()}
+            next_state = (child_o, child_d, child_alive)
+        else:
+            res = isect.query(scene, ctx["shadow_origins"],
+                              ctx["shadow_dirs"], alive=shadow_alive,
+                              t_limit=SHADOW_T_MAX)
+            blocked = _window(res, n_shadow)
+            next_state = None
+
+        rad = finish_shade(scene, ctx, blocked)
+        rad = jnp.where(parent_alive[:, None], rad, 0.0)
         radiance = radiance + weight * rad.reshape(R, fan, 3).sum(axis=1)
 
-        if level == recursions:
-            break
-        b = spread * (recursions - level)  # num_sub_rays, mod.rs:150
-        normal = geometric_normal(scene.tri_verts, hit["tri"])
-        # missed parents: t sentinel (BIG_T) would launch children from
-        # ~1e38 origins -> inf/NaN in their (masked) intersections and
-        # NaN gradients; spawn them from the parent origin instead
-        t_safe = jnp.where(alive, hit["t"], 0.0)
-        hit_point = cur_o + t_safe[:, None] * cur_d
-        key, sub = jax.random.split(key)
-        n_rep = jnp.repeat(normal, b, axis=0)
-        hp_rep = jnp.repeat(hit_point, b, axis=0)
-        new_d = sample_hemisphere(sub, n_rep)
-        cur_o = hp_rep + HIT_OFFSET * new_d          # mod.rs:192-193
-        cur_d = new_d
-        parent_alive = jnp.repeat(alive, b, axis=0)
-        weight = weight / b                          # mean over children
-        fan = fan * b
+        if next_state is not None:
+            cur_o, cur_d, parent_alive = next_state
+            weight = weight / b                          # mean over children
+            fan = fan * b
 
     return radiance

@@ -38,8 +38,7 @@ def render_pixels(scene, cam, px, py, key, width, height, intersector,
     if jitter is None:
         jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
     origins, dirs = generate_rays(cam, px, py, jitter, width, height)
-    return trace_radiance(scene, origins, dirs, kt,
-                          intersector.closest, intersector.shadow,
+    return trace_radiance(scene, origins, dirs, kt, intersector,
                           recursions, spread)
 
 

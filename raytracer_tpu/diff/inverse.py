@@ -9,10 +9,7 @@ on pixel loss, optionally sharded over a device mesh
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from raytracer_tpu.diff.gradients import pixel_loss

@@ -31,7 +31,6 @@ reference's *dialect behavior* exactly:
 from __future__ import annotations
 
 import os
-import re
 from dataclasses import dataclass, field
 from typing import List, Optional
 from xml.etree import ElementTree
@@ -40,7 +39,7 @@ import numpy as np
 
 from raytracer_tpu import vecmath as vm
 from raytracer_tpu.models.camera import Camera
-from raytracer_tpu.models.texture import load_texture, TextureLoadError
+from raytracer_tpu.models.texture import load_texture
 from raytracer_tpu.models.types import Geometry, Light, Material, Scene
 
 F = np.float32

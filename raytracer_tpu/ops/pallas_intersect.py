@@ -29,9 +29,10 @@ change the blocked/unblocked outcome.
 fallback with identical accept criteria, property-tested against the
 brute-force oracle (the reference's NoAccelerationIntersector pattern).
 
-VMEM budget: the coefficient table costs 64 B/triangle padded, so
-scenes up to ~200k triangles fit alongside ray blocks; larger scenes
-need the planned HBM-resident table with double-buffered cluster DMA.
+VMEM budget: the triangle SoA planes cost 36 B/triangle padded plus a
+(K x 128) entry-distance scratch, so scenes up to ~300k triangles fit
+alongside ray blocks; larger scenes need the planned HBM-resident
+triangle store with double-buffered cluster DMA.
 """
 
 from __future__ import annotations
@@ -300,8 +301,10 @@ def pallas_cluster_closest(origins, dirs, v0, e1, e2, aabb, orders,
     v0/e1/e2: (K, C, 3) sorted triangle SoA;
     aabb: (K, 8) float32 [minx miny minz maxx maxy maxz pad pad];
     orders: (6, K) int32 directional visit orders.
-    t_limit: static float — clusters entirely beyond it are culled
-    (hits past the limit MAY be missed; closest hit below it is exact).
+    t_limit: STATIC float — clusters entirely beyond it are culled
+    (hits past the limit MAY be missed; the closest hit below it is
+    exact).  Static specialization beats a per-ray limit stream, whose
+    (R, 1) layout conversions cost more than they save.
     Returns t, u, v (R,) f32 and idx (R,) int32 (sorted order)."""
     R = origins.shape[0]
     K, C, _ = v0.shape
@@ -414,6 +417,9 @@ class ClusterIntersector:
             if pad:
                 t, u, v, i = t[:R], u[:R], v[:R], i[:R]
             return t, u, v, i
+        # XLA fallback ignores the limit: it returns the true closest
+        # hit, a superset of the limited search — identical results for
+        # closest queries and for the shadow window check.
         return xla_cluster_closest(origins, dirs, self.v0, self.e1, self.e2,
                                    self.aabb_min, self.aabb_max)
 
@@ -428,18 +434,22 @@ class ClusterIntersector:
         return (jnp.where(a, origins, DEAD_ORIGIN),
                 jnp.where(a, dirs, 1.0))
 
-    def closest(self, scene, origins, dirs, alive=None):
+    def query(self, scene, origins, dirs, alive=None, t_limit=None):
+        """Generic closest-hit with a STATIC t-limit (shadow queries
+        pass the window maximum; closest queries pass None)."""
         origins, dirs = self._mask_dead(origins, dirs, alive)
-        t, u, v, i = self._closest_sorted(origins, dirs)
+        t, u, v, i = self._closest_sorted(origins, dirs, t_limit)
         hit = t < BIG_T
         tri = jnp.where(hit, self.perm[i], 0)
         return dict(t=t, u=u, v=v, tri=tri.astype(jnp.int32), hit=hit)
 
+    def closest(self, scene, origins, dirs, alive=None):
+        return self.query(scene, origins, dirs, alive=alive)
+
     def shadow(self, scene, origins, dirs, alive=None, t_min=0.01, t_max=1.0):
-        origins, dirs = self._mask_dead(origins, dirs, alive)
         # closest-then-window (mod.rs:224-230).  Culling clusters whose
         # entry exceeds t_max cannot change the outcome: any hit below
         # t_max is found exactly, and a missed farther hit would have
         # been outside the window anyway.
-        t, _, _, _ = self._closest_sorted(origins, dirs, t_limit=t_max)
-        return (t < BIG_T) & (t > t_min) & (t < t_max)
+        res = self.query(scene, origins, dirs, alive=alive, t_limit=t_max)
+        return res["hit"] & (res["t"] > t_min) & (res["t"] < t_max)

@@ -17,7 +17,7 @@ star.
 
 from __future__ import annotations
 
-from functools import partial
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +47,7 @@ def make_sharded_render(mesh, intersector, width: int, height: int,
         kj, kt = jax.random.split(key)
         jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
         origins, dirs = generate_rays(cam, px, py, jitter, width, height)
-        return trace_radiance(scene, origins, dirs, kt,
-                              intersector.closest, intersector.shadow,
+        return trace_radiance(scene, origins, dirs, kt, intersector,
                               recursions, spread)
 
     sharded = shard_map(
@@ -81,8 +80,7 @@ def make_sharded_train_step(mesh, intersector, width: int, height: int,
         kj, kt = jax.random.split(key)
         jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
         origins, dirs = generate_rays(cam, px, py, jitter, width, height)
-        rad = trace_radiance(scene, origins, dirs, kt,
-                             intersector.closest, intersector.shadow,
+        rad = trace_radiance(scene, origins, dirs, kt, intersector,
                              recursions, spread)
         err = rad - target
         # psum the per-shard sum so every device holds the global loss
@@ -98,7 +96,7 @@ def make_sharded_train_step(mesh, intersector, width: int, height: int,
     )
 
     def loss_fn(diff_scene, scene, cam, px, py, target, keys):
-        merged = _merge_scene(scene, diff_scene)
+        merged = dataclasses.replace(scene, **diff_scene)
         return sharded_loss(merged, cam, px, py, target, keys)
 
     @jax.jit
@@ -111,14 +109,6 @@ def make_sharded_train_step(mesh, intersector, width: int, height: int,
         return loss, opt_state, diff_scene
 
     return step
-
-
-def _merge_scene(scene, diff_parts: dict):
-    """Overlay optimized leaves (dict of field -> array) onto a scene
-    pytree."""
-    import dataclasses
-    return dataclasses.replace(scene, **diff_parts) if dataclasses.is_dataclass(scene) \
-        else scene
 
 
 def pixel_grid(width: int, height: int, pad_to: int = 1):

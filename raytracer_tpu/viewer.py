@@ -60,7 +60,6 @@ _KEYMAP = {
 def serve(rt, port: int = 8000, frame_iterations: int = 0):
     """Run the render loop in a thread and serve frames until Ctrl-C."""
     from raytracer_tpu.utils.stats import Stats
-    from raytracer_tpu.utils.png_io import write_png  # noqa: F401 (PIL path)
 
     state = {"frames": 0, "fps": 0.0, "rays_per_sec": 0.0, "png": b""}
     lock = threading.Lock()

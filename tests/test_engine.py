@@ -39,7 +39,7 @@ def test_direct_lighting_matches_oracle(boxes_scene):
     o, d = generate_rays(cam.params(), jnp.asarray(px), jnp.asarray(py),
                          jnp.asarray(jit), W, H)
     rad = trace_radiance(scene_dev, o, d, jax.random.PRNGKey(0),
-                         isect.closest, isect.shadow, recursions=0, spread=1)
+                         isect, recursions=0, spread=1)
     img = np.asarray(rad).reshape(H, W, 3)
 
     expect = oracle.render_direct(buf, cam, W, H, jitter=(0.5, 0.5))

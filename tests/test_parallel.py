@@ -54,8 +54,7 @@ def test_sharded_render_matches_unsharded(scene_dev):
         jitter = jax.random.uniform(kj, (shard, 2), dtype=jnp.float32)
         o, d = generate_rays(cam, jnp.asarray(px[sl]), jnp.asarray(py[sl]),
                              jitter, W, H)
-        expected.append(trace_radiance(dev, o, d, kt, isect.closest,
-                                       isect.shadow, 0, 1))
+        expected.append(trace_radiance(dev, o, d, kt, isect, 0, 1))
     expected = jnp.concatenate(expected)
     np.testing.assert_allclose(np.asarray(rad), np.asarray(expected),
                                rtol=1e-5, atol=1e-6)
