@@ -60,17 +60,40 @@ SORT_SEGMENT = 1024
 
 
 def _octant_sort(origins, dirs, alive):
-    """Returns (perm, inv_perm) grouping rays by (segment, dir octant),
-    dead rays last within each segment."""
+    """Returns (perm, inv_perm) compacting alive rays first (dead rays
+    go to the global tail, so trailing kernel blocks are fully dead and
+    skipped outright), grouped by (segment, dir octant) within the alive
+    prefix for block coherence."""
     R = dirs.shape[0]
     idx = jnp.arange(R, dtype=jnp.int32)
     octant = ((dirs[:, 0] >= 0).astype(jnp.int32)
               + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
               + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
-    key = (idx // SORT_SEGMENT) * 16 + jnp.where(alive, octant, 15)
+    nseg = R // SORT_SEGMENT + 1
+    key = jnp.where(alive, (idx // SORT_SEGMENT) * 8 + octant, 8 * nseg)
     perm = jnp.argsort(key, stable=True)
     inv = jnp.argsort(perm)
     return perm, inv
+
+
+def _partition_alive(alive):
+    """Stable partition: alive rays first (keeping their relative order,
+    hence their tile coherence), dead rays compacted into trailing —
+    skippable — kernel blocks."""
+    perm = jnp.argsort((~alive).astype(jnp.int32), stable=True)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
+def _shadow_query(isect, scene, ctx, shadow_alive):
+    """Shadow occlusion with dead lanes compacted to the tail (missed or
+    culled parents leave large dead stretches; compaction turns them
+    into fully-dead blocks the intersector skips)."""
+    perm, inv = _partition_alive(shadow_alive)
+    res = isect.query(scene, ctx["shadow_origins"][perm],
+                      ctx["shadow_dirs"][perm], alive=shadow_alive[perm],
+                      t_limit=SHADOW_T_MAX)
+    return {k: v[inv] for k, v in res.items()}
 
 
 def _window(res, n):
@@ -119,9 +142,7 @@ def trace_radiance(scene, origins, dirs, key, isect,
             child_alive = jnp.repeat(alive, b, axis=0)
 
             # occlusion queries for this level (t-limited at the light)
-            res = isect.query(scene, ctx["shadow_origins"],
-                              ctx["shadow_dirs"], alive=shadow_alive,
-                              t_limit=SHADOW_T_MAX)
+            res = _shadow_query(isect, scene, ctx, shadow_alive)
             blocked = _window(res, n_shadow)
             # regroup children for block coherence, traverse, un-permute
             # (folding this into the shadow launch measured slower:
@@ -132,9 +153,7 @@ def trace_radiance(scene, origins, dirs, key, isect,
             hit = {k: v[inv] for k, v in hit_s.items()}
             next_state = (child_o, child_d, child_alive)
         else:
-            res = isect.query(scene, ctx["shadow_origins"],
-                              ctx["shadow_dirs"], alive=shadow_alive,
-                              t_limit=SHADOW_T_MAX)
+            res = _shadow_query(isect, scene, ctx, shadow_alive)
             blocked = _window(res, n_shadow)
             next_state = None
 

@@ -193,28 +193,14 @@ def _cluster_kernel(limit,                        # static python float
                      d[:, 2].reshape(1, RB))
     idxr, idyr, idzr = 1.0 / dxr, 1.0 / dyr, 1.0 / dzr
 
-    # --- phase 1: slab-test every cluster against every ray at once ---
-    minx, miny, minz = aabb_ref[:, 0:1], aabb_ref[:, 1:2], aabb_ref[:, 2:3]
-    maxx, maxy, maxz = aabb_ref[:, 3:4], aabb_ref[:, 4:5], aabb_ref[:, 5:6]
-    tx1, tx2 = (minx - oxr) * idxr, (maxx - oxr) * idxr
-    ty1, ty2 = (miny - oyr) * idyr, (maxy - oyr) * idyr
-    tz1, tz2 = (minz - ozr) * idzr, (maxz - ozr) * idzr
-    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                       jnp.minimum(tz1, tz2))
-    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                       jnp.maximum(tz1, tz2))
-    tent[:] = jnp.where((tmax >= tmin) & (tmax > 0.0), tmin, BIG_T)
-    # scalar gate per cluster: the closest possible entry over the block,
-    # DMA'd into SMEM so the traversal loop reads it as cheap scalars
-    mintent[:] = jnp.min(tent[:], axis=1, keepdims=True)       # (K, 1)
-    cp = pltpu.make_async_copy(mintent, mintent_sm, sem)
-    cp.start()
-    cp.wait()
-
     bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
     bu[:] = jnp.zeros((RB, 1), jnp.float32)
     bv[:] = jnp.zeros((RB, 1), jnp.float32)
     bi[:] = jnp.zeros((RB, 1), jnp.int32)
+
+    # dead lanes (sentinel origins: padding, masked parents) never find a
+    # hit, so they must not hold the block's culling threshold at BIG_T
+    alive_row = jnp.abs(ox) < _ALIVE_LIMIT               # (RB, 1) bool
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, C), dimension=1)
 
@@ -227,6 +213,29 @@ def _cluster_kernel(limit,                        # static python float
 
     @pl.when(alive_ref[blk, 0] != 0)
     def _():
+        # --- phase 1: slab-test every cluster against every ray at once
+        # (fully-dead blocks skip this too: only the output writes below
+        # run for them, keeping compacted tail blocks nearly free) ---
+        minx, miny, minz = aabb_ref[:, 0:1], aabb_ref[:, 1:2], aabb_ref[:, 2:3]
+        maxx, maxy, maxz = aabb_ref[:, 3:4], aabb_ref[:, 4:5], aabb_ref[:, 5:6]
+        tx1, tx2 = (minx - oxr) * idxr, (maxx - oxr) * idxr
+        ty1, ty2 = (miny - oyr) * idyr, (maxy - oyr) * idyr
+        tz1, tz2 = (minz - ozr) * idzr, (maxz - ozr) * idzr
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                       jnp.minimum(ty1, ty2)),
+                           jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                       jnp.maximum(ty1, ty2)),
+                           jnp.maximum(tz1, tz2))
+        tent[:] = jnp.where((tmax >= tmin) & (tmax > 0.0), tmin, BIG_T)
+        # scalar gate per cluster: the closest possible entry over the
+        # block, DMA'd into SMEM so the traversal loop reads it as cheap
+        # scalars
+        mintent[:] = jnp.min(tent[:], axis=1, keepdims=True)   # (K, 1)
+        cp = pltpu.make_async_copy(mintent, mintent_sm, sem)
+        cp.start()
+        cp.wait()
+
         def mt_cluster(kk, active):
             @pl.when(jnp.any(active))
             def _():
@@ -271,8 +280,9 @@ def _cluster_kernel(limit,                        # static python float
                 bv[:] = jnp.where(better, vj, bv[:])
                 bi[:] = jnp.where(better, kk * C + jfirst, bi[:])
                 bt[:] = jnp.where(better, tmin_row, bt[:])
-                maxbest[0, 0] = jnp.minimum(jnp.max(bt[:]),
-                                            jnp.float32(limit))
+                maxbest[0, 0] = jnp.minimum(
+                    jnp.max(jnp.where(alive_row, bt[:], 0.0)),
+                    jnp.float32(limit))
 
         def body(k, _):
             kk = order_ref[oidx, k]
