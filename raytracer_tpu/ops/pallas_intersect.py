@@ -163,8 +163,8 @@ def _build_mt_table(v0, e1, e2):
 
 
 def _cluster_kernel(limit,                        # static python float
-                    oidx_ref,                     # SMEM (nb, 1) int32
-                    alive_ref,                    # SMEM (nb, 1) int32
+                    oidx_ref,                     # SMEM (1, nb) int32
+                    alive_ref,                    # SMEM (1, nb) int32
                     order_ref,                    # SMEM (6, K)
                     o_ref, d_ref,                 # VMEM (RB, 3)
                     aabb_ref,                     # VMEM (K, 8)
@@ -207,11 +207,11 @@ def _cluster_kernel(limit,                        # static python float
     # traversal order + block aliveness are precomputed per block on the
     # XLA side (scalar reductions over row vectors don't lower in Mosaic)
     blk = pl.program_id(0) * 8 + row
-    oidx = oidx_ref[blk, 0]
+    oidx = oidx_ref[0, blk]
 
     maxbest[0, 0] = jnp.float32(min(BIG_T, limit))
 
-    @pl.when(alive_ref[blk, 0] != 0)
+    @pl.when(alive_ref[0, blk] != 0)
     def _():
         # --- phase 1: slab-test every cluster against every ray at once
         # (fully-dead blocks skip this too: only the output writes below
@@ -338,14 +338,14 @@ def pallas_cluster_closest(origins, dirs, v0, e1, e2, aabb, orders,
     s = jnp.sum(db, axis=1)                                    # (nb, 3)
     axis = jnp.argmax(jnp.abs(s), axis=1)                      # (nb,)
     sgn = jnp.take_along_axis(s, axis[:, None], axis=1)[:, 0]
-    oidx = (axis * 2 + (sgn < 0.0)).astype(jnp.int32)[:, None]  # (nb, 1)
+    oidx = (axis * 2 + (sgn < 0.0)).astype(jnp.int32)[None, :]  # (1, nb)
     ob = origins.reshape(nb, RAY_BLOCK, 3)
     alive = jnp.any(jnp.abs(ob[:, :, 0]) < _ALIVE_LIMIT, axis=1)
-    alive = alive.astype(jnp.int32)[:, None]                   # (nb, 1)
+    alive = alive.astype(jnp.int32)[None, :]                   # (1, nb)
 
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3), lambda i, j: (i * 8 + j, 0),
                             memory_space=pltpu.VMEM)
-    blk_scalar_spec = pl.BlockSpec((nb, 1), lambda i, j: (0, 0),
+    blk_scalar_spec = pl.BlockSpec((1, nb), lambda i, j: (0, 0),
                                    memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((8, RAY_BLOCK), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
