@@ -70,6 +70,7 @@ class RayTracer:
         self._sharded_render = None
         self._sharded_mesh = None
         self._step = self._make_step()
+        self._frame_step = None
 
     @classmethod
     def from_scene(cls, scene, width, height, **kwargs):
@@ -157,12 +158,54 @@ class RayTracer:
 
     # -- batch-mode API (TPU-native; no reference equivalent) -------------
 
+    def _make_frame_step(self):
+        """One jitted call per full frame: swizzled ray-gen, the whole
+        wavefront, and the un-swizzle back to pixel order as a pure
+        reshape/transpose (no gather), so the film update is a dense add
+        (no scatter)."""
+        isect = self.intersector
+        W, H = self.width, self.height
+        rec, spread = self.recursions, self.spread
+        TW, TH = self.TILE_W, self.TILE_H
+        Wp, Hp = -(-W // TW) * TW, -(-H // TH) * TH
+
+        # tile-swizzled pixel coordinates (baked constants)
+        ys, xs = np.meshgrid(np.arange(Hp, dtype=np.int32),
+                             np.arange(Wp, dtype=np.int32), indexing="ij")
+        swz = lambda a: (a.reshape(Hp // TH, TH, Wp // TW, TW)
+                         .transpose(0, 2, 1, 3).reshape(-1))
+        px = jnp.asarray(swz(xs))
+        py_actual = swz(ys)
+        if self.compat_v_bug:
+            idx = py_actual * W + px  # mod.rs:96 (v = idx / height)
+            py = jnp.asarray((np.asarray(idx) // H).astype(np.int32))
+        else:
+            py = jnp.asarray(py_actual)
+
+        def step(scene, cam, key):
+            kj, kt = jax.random.split(key)
+            jitter = jax.random.uniform(kj, (px.shape[0], 2),
+                                        dtype=jnp.float32)
+            origins, dirs = generate_rays(cam, px, py, jitter, W, H)
+            rad = trace_radiance(scene, origins, dirs, kt, isect,
+                                 rec, spread)
+            img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
+                   .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))
+            return img[:H, :W].reshape(H * W, 3)
+
+        return jax.jit(step)
+
     def render(self, spp: int = 1) -> np.ndarray:
         """Render the full frame at `spp` samples per pixel; returns HDR
-        (H, W, 3) float32 mean radiance."""
-        blocks_per_frame = -(-self.height // self.rows_per_frame)
-        for _ in range(spp * blocks_per_frame):
-            self.trace_frame_additive()
+        (H, W, 3) float32 mean radiance.  Whole-frame jitted steps with
+        dense film accumulation (the progressive row loop is only for
+        reference-parity interactive use)."""
+        if self._frame_step is None:
+            self._frame_step = self._make_frame_step()
+        for _ in range(spp):
+            rad = self._frame_step(self.scene_arrays, self.camera.params(),
+                                   self._next_key())
+            self.film.add_full_frame(rad, 1.0)
         return self.get_hdr()
 
     def get_hdr(self) -> np.ndarray:

@@ -38,9 +38,10 @@ class BruteForceIntersector:
     def closest(self, scene, origins, dirs, alive=None):
         return self.query(scene, origins, dirs)
 
-    def shadow(self, scene, origins, dirs, alive=None):
+    def shadow(self, scene, origins, dirs, alive=None, t_min=0.01, t_max=1.0):
         from raytracer_tpu.core.intersect import any_hit_window
-        return any_hit_window(origins, dirs, scene.tri_verts, chunk=self.chunk)
+        return any_hit_window(origins, dirs, scene.tri_verts,
+                              t_min=t_min, t_max=t_max, chunk=self.chunk)
 
     # intersectors are baked into jitted closures; identity-based hashing
     # is fine because engines build them once.
@@ -52,4 +53,7 @@ def make_intersector(kind: str, scene_buffers=None, triangles_per_leaf: int = 70
     if kind == "cluster":
         from raytracer_tpu.ops.pallas_intersect import ClusterIntersector
         return ClusterIntersector(scene_buffers, triangles_per_leaf=triangles_per_leaf)
+    if kind == "bvh":
+        from raytracer_tpu.ops.pallas_bvh import BVHIntersector
+        return BVHIntersector(scene_buffers, triangles_per_leaf=triangles_per_leaf)
     raise ValueError(f"unknown intersector kind: {kind!r}")

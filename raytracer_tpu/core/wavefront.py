@@ -17,18 +17,20 @@ per-level fan-out and weights:
     level 2: 2*R rays, weight 1/2   (fan-out 1)
 
 Each level is one batched closest-hit + one batched shade (with its
-shadow queries), so the machine always runs wide, uniform kernels —
-dead rays (missed parents) are masked, not compacted, because the tree
-is shallow and fixed (fixed-budget masking; see SURVEY §7 'stream
-compaction').  Child radiance folds back to its originating pixel with a
-reshape-sum, since fan-out is contiguous repetition.
+shadow queries), so the machine always runs wide, uniform kernels.
 
-Shadow queries use a static t-limit at the light distance
-(mod.rs:224-230's window), which the kernel specializes on at compile
-time.  (Folding shadow + next-level rays into one per-ray-limited
-launch was tried and measured slower: mixed-purpose batches dilute
-block-level culling and the per-ray limit stream costs more than it
-saves.)
+Ray ordering (the TPU analogue of GPU ray-sorting): bounce rays are
+globally sorted by (parent hit leaf, direction octant) before
+traversal, and — unlike round 1 — the level then STAYS in sorted order
+through shading, so its shadow rays (which originate at the sorted hit
+points) inherit the coherence for free.  Only the per-level radiance is
+folded back to pixel order, one (N, 3) gather per level instead of
+un-permuting five hit fields + re-partitioning for shadows.  Dead rays
+(missed parents) sort to the global tail, so trailing kernel blocks are
+fully dead and skipped outright by the intersector.
+
+Sampling happens in parent order BEFORE sorting, so results are
+invariant to the sort (same rays, same RNG stream, same per-pixel sums).
 """
 
 from __future__ import annotations
@@ -51,64 +53,43 @@ HIT_OFFSET = 1e-5
 SHADOW_T_MIN = 0.01
 SHADOW_T_MAX = 1.0
 
-# Bounce rays are regrouped before traversal: rays within a neighborhood
-# of this many lanes are stably sorted by direction octant, so traversal
-# blocks see bundles that share both origin locality (inherited from the
-# parent pixel tiles) and a direction octant — the wavefront analogue of
-# GPU ray-sorting.
-SORT_SEGMENT = 1024
+
+def _shadow(isect, scene, ctx, shadow_alive):
+    """Occlusion for a level's shadow batch (windowed closest,
+    mod.rs:224-230)."""
+    if hasattr(isect, "shadow"):
+        return isect.shadow(scene, ctx["shadow_origins"],
+                            ctx["shadow_dirs"], alive=shadow_alive,
+                            t_min=SHADOW_T_MIN, t_max=SHADOW_T_MAX)
+    res = isect.query(scene, ctx["shadow_origins"], ctx["shadow_dirs"],
+                      alive=shadow_alive, t_limit=SHADOW_T_MAX)
+    return res["hit"] & (res["t"] > SHADOW_T_MIN) & (res["t"] < SHADOW_T_MAX)
 
 
-def _octant_sort(origins, dirs, alive):
-    """Returns (perm, inv_perm) compacting alive rays first (dead rays
-    go to the global tail, so trailing kernel blocks are fully dead and
-    skipped outright), grouped by (segment, dir octant) within the alive
-    prefix for block coherence."""
-    R = dirs.shape[0]
-    idx = jnp.arange(R, dtype=jnp.int32)
+def _sort_key(isect, hit, dirs, alive, fan):
+    """Spatial sort key for bounce rays: (parent hit leaf, direction
+    octant); dead rays key to the tail.  `slot` is the intersector's
+    packed triangle slot (leaf-major), so slot / leaf-capacity
+    identifies the parent's leaf — spatially tight by construction."""
+    slot = hit.get("slot", hit["tri"])
+    cap = getattr(isect, "leaf_capacity", 128)
+    leaf = jnp.repeat(slot, fan, axis=0) // cap
     octant = ((dirs[:, 0] >= 0).astype(jnp.int32)
               + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
               + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
-    nseg = R // SORT_SEGMENT + 1
-    key = jnp.where(alive, (idx // SORT_SEGMENT) * 8 + octant, 8 * nseg)
-    perm = jnp.argsort(key, stable=True)
-    inv = jnp.argsort(perm)
-    return perm, inv
-
-
-def _partition_alive(alive):
-    """Stable partition: alive rays first (keeping their relative order,
-    hence their tile coherence), dead rays compacted into trailing —
-    skippable — kernel blocks."""
-    perm = jnp.argsort((~alive).astype(jnp.int32), stable=True)
-    inv = jnp.argsort(perm)
-    return perm, inv
-
-
-def _shadow_query(isect, scene, ctx, shadow_alive):
-    """Shadow occlusion with dead lanes compacted to the tail (missed or
-    culled parents leave large dead stretches; compaction turns them
-    into fully-dead blocks the intersector skips)."""
-    perm, inv = _partition_alive(shadow_alive)
-    res = isect.query(scene, ctx["shadow_origins"][perm],
-                      ctx["shadow_dirs"][perm], alive=shadow_alive[perm],
-                      t_limit=SHADOW_T_MAX)
-    return {k: v[inv] for k, v in res.items()}
-
-
-def _window(res, n):
-    """Shadow blocked mask from the first n rays of a query result."""
-    t = res["t"][:n]
-    return res["hit"][:n] & (t > SHADOW_T_MIN) & (t < SHADOW_T_MAX)
+    key = leaf * 8 + octant
+    return jnp.where(alive, key, jnp.int32(2 ** 30))
 
 
 def trace_radiance(scene, origins, dirs, key, isect,
-                   recursions: int = RECURSIONS, spread: int = SUB_SPREAD):
+                   recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
+                   sort_rays: bool = True):
     """Radiance for R primary rays, bounce tree unrolled.
 
     isect: pluggable acceleration structure exposing
-    query(scene, o, d, alive, limits) -> hit dict (the reference's
-    Intersector generic, accel_intersect.rs:10-13).
+    query(scene, o, d, alive, t_limit) -> hit dict (the reference's
+    Intersector generic, accel_intersect.rs:10-13) and optionally
+    shadow(...) -> blocked.
 
     Returns (R, 3) radiance; rays that miss everything return black
     (mod.rs:99-110).
@@ -119,15 +100,28 @@ def trace_radiance(scene, origins, dirs, key, isect,
     parent_alive = jnp.ones((R,), dtype=bool)
     weight = 1.0
     fan = 1
+    # composed permutation: sorted position -> original child position
+    # (identity at level 0, where rays arrive pixel-tile ordered)
+    perm_total = None
 
     hit = isect.query(scene, cur_o, cur_d, alive=parent_alive)
 
     for level in range(recursions + 1):
         ctx = prepare_shade(scene, cur_o, cur_d, hit)
-        n_shadow = ctx["shadow_origins"].shape[0]
         shadow_alive = (ctx["shadow_alive"]
                         & jnp.tile(parent_alive, ctx["num_lights"]))
         alive = parent_alive & hit["hit"]
+
+        blocked = _shadow(isect, scene, ctx, shadow_alive)
+        rad = finish_shade(scene, ctx, blocked)
+        rad = jnp.where(parent_alive[:, None], rad, 0.0)
+
+        # fold back to pixel order (one gather; levels >= 1 are in
+        # sorted order)
+        if perm_total is not None:
+            inv = jnp.argsort(perm_total)
+            rad = rad[inv]
+        radiance = radiance + weight * rad.reshape(R, fan, 3).sum(axis=1)
 
         if level < recursions:
             b = spread * (recursions - level)  # num_sub_rays, mod.rs:150
@@ -141,28 +135,24 @@ def trace_radiance(scene, origins, dirs, key, isect,
             child_o = hp_rep + HIT_OFFSET * child_d      # mod.rs:192-193
             child_alive = jnp.repeat(alive, b, axis=0)
 
-            # occlusion queries for this level (t-limited at the light)
-            res = _shadow_query(isect, scene, ctx, shadow_alive)
-            blocked = _window(res, n_shadow)
-            # regroup children for block coherence, traverse, un-permute
-            # (folding this into the shadow launch measured slower:
-            # mixed-purpose batches dilute block-level culling)
-            perm, inv = _octant_sort(child_o, child_d, child_alive)
-            hit_s = isect.query(scene, child_o[perm], child_d[perm],
-                                alive=child_alive[perm])
-            hit = {k: v[inv] for k, v in hit_s.items()}
-            next_state = (child_o, child_d, child_alive)
-        else:
-            res = _shadow_query(isect, scene, ctx, shadow_alive)
-            blocked = _window(res, n_shadow)
-            next_state = None
+            if sort_rays:
+                skey = _sort_key(isect, hit, child_d, child_alive, b)
+                perm = jnp.argsort(skey)
+                child_o, child_d = child_o[perm], child_d[perm]
+                child_alive = child_alive[perm]
+                # compose with the parent level's permutation: parents
+                # are themselves sorted, so map child positions through
+                # the parent ordering first
+                if perm_total is None:
+                    perm_total = perm
+                else:
+                    pt_child = (jnp.repeat(perm_total * b, b)
+                                + jnp.tile(jnp.arange(b, dtype=perm_total.dtype),
+                                           perm_total.shape[0]))
+                    perm_total = pt_child[perm]
 
-        rad = finish_shade(scene, ctx, blocked)
-        rad = jnp.where(parent_alive[:, None], rad, 0.0)
-        radiance = radiance + weight * rad.reshape(R, fan, 3).sum(axis=1)
-
-        if next_state is not None:
-            cur_o, cur_d, parent_alive = next_state
+            hit = isect.query(scene, child_o, child_d, alive=child_alive)
+            cur_o, cur_d, parent_alive = child_o, child_d, child_alive
             weight = weight / b                          # mean over children
             fan = fan * b
 

@@ -405,6 +405,7 @@ class ClusterIntersector:
         self.aabb8 = jnp.asarray(aabb8)
         self.orders = jnp.asarray(grid.orders)
         self.perm = jnp.asarray(np.maximum(grid.perm, 0))
+        self.leaf_capacity = grid.cluster_size
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -451,7 +452,8 @@ class ClusterIntersector:
         t, u, v, i = self._closest_sorted(origins, dirs, t_limit)
         hit = t < BIG_T
         tri = jnp.where(hit, self.perm[i], 0)
-        return dict(t=t, u=u, v=v, tri=tri.astype(jnp.int32), hit=hit)
+        return dict(t=t, u=u, v=v, tri=tri.astype(jnp.int32), hit=hit,
+                    slot=jnp.where(hit, i, 0).astype(jnp.int32))
 
     def closest(self, scene, origins, dirs, alive=None):
         return self.query(scene, origins, dirs, alive=alive)
