@@ -79,17 +79,34 @@ class RayTracer:
 
     # -- jitted wavefront step -------------------------------------------
 
+    def _shade_fast_args(self):
+        """Forward-only shading fast path: packed slot records + static
+        has-textures flag (None/True when the intersector has no packed
+        slot layout).  Built once; the engine treats scene materials as
+        fixed (training paths construct their own steps without it)."""
+        if getattr(self.intersector, "perm", None) is None:
+            return None, True
+        from raytracer_tpu.core.shade import build_slot_records
+        if getattr(self, "_slot_records", None) is None:
+            self._slot_records = build_slot_records(
+                self.scene_arrays, self.intersector.perm,
+                self.intersector.perm.shape[0])
+        has_tex = bool((np.asarray(self.scene_buffers.mat_tex_id) >= 0).any())
+        return self._slot_records, has_tex
+
     def _make_step(self):
         isect = self.intersector
         W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
+        records, has_tex = self._shade_fast_args()
 
         def step(scene, cam, px, py, key):
             kj, kt = jax.random.split(key)
             jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
             return trace_radiance(scene, origins, dirs, kt, isect,
-                                  rec, spread)
+                                  rec, spread, shade_records=records,
+                                  has_textures=has_tex)
 
         return jax.jit(step)
 
@@ -182,13 +199,16 @@ class RayTracer:
         else:
             py = jnp.asarray(py_actual)
 
+        records, has_tex = self._shade_fast_args()
+
         def step(scene, cam, key):
             kj, kt = jax.random.split(key)
             jitter = jax.random.uniform(kj, (px.shape[0], 2),
                                         dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
             rad = trace_radiance(scene, origins, dirs, kt, isect,
-                                 rec, spread)
+                                 rec, spread, shade_records=records,
+                                 has_textures=has_tex)
             img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))
             return img[:H, :W].reshape(H * W, 3)

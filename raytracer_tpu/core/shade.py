@@ -66,6 +66,72 @@ def sample_diffuse(scene, tri_idx, u, v):
     return jnp.where((tex_id >= 0)[:, None], texel, rgb)
 
 
+def build_slot_records(scene, perm, num_slots):
+    """Packed per-slot shading records for the forward fast path:
+    one (S, 8) row per intersector slot = [unit normal (3), diffuse rgb
+    (3), tex_id (1), pad].  Built once on device (the gathers here run
+    once per scene, not once per ray), so `prepare_shade_fast` needs a
+    single (R, 8) row gather per level instead of five scattered ones.
+
+    NOT differentiable w.r.t. scene parameters by design — training
+    paths use `prepare_shade`, which reads the live scene arrays.
+    """
+    safe = jnp.clip(perm, 0, scene.tri_verts.shape[0] - 1)
+    tv = scene.tri_verts[safe]                              # (S, 3, 3)
+    n = jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(norm > 0, norm, 1.0)
+    geom = scene.tri_geom[safe]
+    rgb = scene.mat_diffuse_rgb[geom]                       # (S, 3)
+    tex = scene.mat_tex_id[geom].astype(jnp.float32)        # (S,)
+    pad = jnp.zeros_like(tex)
+    return jnp.concatenate([n, rgb, tex[:, None], pad[:, None]], axis=1)
+
+
+def prepare_shade_fast(scene, origins, dirs, hit, records, has_textures):
+    """Forward-only variant of `prepare_shade`: all per-hit scene
+    lookups come from one (R, 8) gather of the packed slot records
+    (normal, diffuse, tex id).  Texture sampling (the only remaining
+    scattered lookup) happens only when the scene actually has textures
+    (static flag).  Semantics identical to `prepare_shade`."""
+    t, u, v = hit["t"], hit["u"], hit["v"]
+    hit_mask = hit["hit"]
+    rec = records[hit["slot"]]                               # (R, 8)
+    normal = rec[:, 0:3]
+    diffuse_rgb = rec[:, 3:6]
+
+    if has_textures:
+        tex_id = rec[:, 6].astype(jnp.int32)
+        safe_tex = jnp.maximum(tex_id, 0)
+        hw = scene.tex_hw[safe_tex]
+        h, w = hw[:, 0], hw[:, 1]
+        x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+        texel = scene.tex_atlas[safe_tex, y, x]
+        diffuse_rgb = jnp.where((tex_id >= 0)[:, None], texel, diffuse_rgb)
+
+    t = jnp.where(hit_mask, t, 0.0)
+    hit_point = origins + t[:, None] * dirs
+    view = _normalize(dirs)
+
+    L = scene.light_pos.shape[0]
+    to_light = scene.light_pos[:, None, :] - hit_point[None, :, :]
+    tl_n = _normalize(to_light)
+    dot_ln = jnp.sum(normal[None] * tl_n, axis=-1)
+    facing = dot_ln >= 0.0
+    shadow_origin = hit_point[None] + 0.01 * to_light
+    shadow_alive = hit_mask[None] & facing
+
+    return dict(
+        hit_mask=hit_mask, normal=normal, hit_point=hit_point,
+        diffuse_rgb=diffuse_rgb, view=view, tl_n=tl_n, dot_ln=dot_ln,
+        facing=facing, num_lights=L,
+        shadow_origins=shadow_origin.reshape(L * hit_point.shape[0], 3),
+        shadow_dirs=to_light.reshape(L * hit_point.shape[0], 3),
+        shadow_alive=shadow_alive.reshape(-1),
+    )
+
+
 def prepare_shade(scene, origins, dirs, hit):
     """Phase 1 of Phong shading (mod.rs:207-261): everything except the
     occlusion results.  Returns a context dict including the shadow-ray

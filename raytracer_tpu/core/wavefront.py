@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core.sampler import sample_hemisphere
-from raytracer_tpu.core.shade import finish_shade, prepare_shade
+from raytracer_tpu.core.shade import (finish_shade, prepare_shade,
+                                      prepare_shade_fast)
 
 # Compile-time knobs of the reference render loop (mod.rs:81-82).
 RECURSIONS = 2
@@ -83,7 +84,8 @@ def _sort_key(isect, hit, dirs, alive, fan):
 
 def trace_radiance(scene, origins, dirs, key, isect,
                    recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
-                   sort_rays: bool = True):
+                   sort_rays: bool = True, shade_records=None,
+                   has_textures: bool = True):
     """Radiance for R primary rays, bounce tree unrolled.
 
     isect: pluggable acceleration structure exposing
@@ -91,9 +93,20 @@ def trace_radiance(scene, origins, dirs, key, isect,
     Intersector generic, accel_intersect.rs:10-13) and optionally
     shadow(...) -> blocked.
 
+    shade_records: optional packed (S, 8) slot-record table
+    (shade.build_slot_records) enabling the forward-only fast shading
+    path — one gather per level instead of five.  Training paths leave
+    it None so gradients flow through the live scene arrays.
+
     Returns (R, 3) radiance; rays that miss everything return black
     (mod.rs:99-110).
     """
+    def _prepare(o, d, h):
+        if shade_records is not None:
+            return prepare_shade_fast(scene, o, d, h, shade_records,
+                                      has_textures)
+        return prepare_shade(scene, o, d, h)
+
     R = origins.shape[0]
     radiance = jnp.zeros((R, 3), dtype=jnp.float32)
     cur_o, cur_d = origins, dirs
@@ -107,7 +120,7 @@ def trace_radiance(scene, origins, dirs, key, isect,
     hit = isect.query(scene, cur_o, cur_d, alive=parent_alive)
 
     for level in range(recursions + 1):
-        ctx = prepare_shade(scene, cur_o, cur_d, hit)
+        ctx = _prepare(cur_o, cur_d, hit)
         shadow_alive = (ctx["shadow_alive"]
                         & jnp.tile(parent_alive, ctx["num_lights"]))
         alive = parent_alive & hit["hit"]
