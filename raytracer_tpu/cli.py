@@ -40,7 +40,8 @@ def build_parser():
                    help="samples per pixel for the default full render")
     p.add_argument("--bounces", type=int, default=2,
                    help="indirect recursion depth (reference RECURSIONS=2)")
-    p.add_argument("--accel", choices=["cluster", "brute"], default="cluster")
+    p.add_argument("--accel", choices=["bvh", "cluster", "brute"],
+                   default="bvh")
     p.add_argument("--out", default="render.png", help="output PNG path")
     p.add_argument("--compat-v-bug", action="store_true",
                    help="reproduce the reference's idx/height row bug "

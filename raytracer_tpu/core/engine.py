@@ -44,7 +44,7 @@ class RayTracer:
     def __init__(self, scene, width: int, height: int,
                  intersector=None,
                  triangles_per_leaf: int = DEFAULT_TRIANGLES_PER_LEAF,
-                 accel: str = "cluster",
+                 accel: str = "bvh",
                  recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
                  rows_per_frame: int = 50,
                  compat_v_bug: bool = False,

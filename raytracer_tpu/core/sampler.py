@@ -20,6 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def hemisphere_from_gaussian(g, normals):
+    """Deterministic half of hemisphere sampling: normalize a 3D
+    Gaussian draw (uniform on the sphere) and reflect into the normal's
+    hemisphere.  Separated from the draw so callers can generate the
+    Gaussians in canonical ray order and permute them alongside sorted
+    rays — results then don't depend on traversal ordering."""
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    d = g / jnp.where(norm > 0, norm, 1.0)
+    dot = jnp.sum(d * normals, axis=-1, keepdims=True)
+    return jnp.where(dot < 0, -d, d)
+
+
 def sample_hemisphere(key, normals):
     """Uniform hemisphere directions around each normal.
 
@@ -28,10 +40,7 @@ def sample_hemisphere(key, normals):
     (mod.rs:186-190).
     """
     g = jax.random.normal(key, normals.shape, dtype=normals.dtype)
-    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    d = g / jnp.where(norm > 0, norm, 1.0)
-    dot = jnp.sum(d * normals, axis=-1, keepdims=True)
-    return jnp.where(dot < 0, -d, d)
+    return hemisphere_from_gaussian(g, normals)
 
 
 class SampleGenerator:

@@ -42,7 +42,7 @@ from raytracer_tpu.ops.pallas_intersect import (
 DEFAULT_RAY_BLOCK = 128
 
 
-def _bvh_kernel(limit, shadow, G,
+def _bvh_kernel(limit, shadow, G, exact_order,
                 oidx_ref,                     # SMEM (1, nb) int32
                 alive_ref,                    # SMEM (1, nb) int32
                 order_ref,                    # SMEM (6, K1) int32
@@ -54,6 +54,7 @@ def _bvh_kernel(limit, shadow, G,
                 tent,                         # scratch (K1, RB) f32
                 mintent,                      # scratch (K1, 1) f32
                 mintent_sm,                   # scratch SMEM (K1, 1) f32
+                order_sm,                     # scratch SMEM (K1, 1) int32
                 sem,                          # DMA semaphore
                 bt, bu, bv, bi,               # scratch (RB, 1)
                 maxbest):                     # scratch SMEM (1, 1) f32
@@ -113,6 +114,35 @@ def _bvh_kernel(limit, shadow, G,
         cp.start()
         cp.wait()
 
+        if exact_order:
+            # exact per-block front-to-back: scalar insertion sort of the
+            # supercluster entry distances (K1 is small; ~K1^2/2 scalar
+            # ops amortized over the whole block).  Tightens early-t
+            # termination where the global dominant-axis order is weakest
+            # (bounce blocks).
+            def init_order(i, _):
+                order_sm[i, 0] = i
+                return 0
+            jax.lax.fori_loop(0, K1, init_order, 0)
+
+            def ins(i, _):
+                def shift(state):
+                    j, key_i, key_v = state
+                    order_sm[j, 0] = order_sm[j - 1, 0]
+                    return j - 1, key_i, key_v
+
+                def cond(state):
+                    j, _, key_v = state
+                    prev = order_sm[jnp.maximum(j - 1, 0), 0]
+                    return (j > 0) & (mintent_sm[prev, 0] > key_v)
+
+                key_i = order_sm[i, 0]
+                key_v = mintent_sm[key_i, 0]
+                j, _, _ = jax.lax.while_loop(cond, shift, (i, key_i, key_v))
+                order_sm[j, 0] = key_i
+                return 0
+            jax.lax.fori_loop(1, K1, ins, 0)
+
         def mt_leaf(leaf):
             """Möller–Trumbore of the whole block against leaf `leaf`."""
             av0x = v0x[pl.ds(leaf, 1), :]                # (1, C)
@@ -160,37 +190,53 @@ def _bvh_kernel(limit, shadow, G,
                 jnp.max(jnp.where(alive_row, bt[:], 0.0)),
                 jnp.float32(limit))
 
-        def body(k, _):
-            kk = order_ref[oidx, k]
+        def visit(kk):
+            # --- leaf-level slab test: one (G, RB) vector op ---
+            lb = leaf_aabb_ref[pl.ds(kk * G, G), :]        # (G, 8)
+            lminx, lminy, lminz = lb[:, 0:1], lb[:, 1:2], lb[:, 2:3]
+            lmaxx, lmaxy, lmaxz = lb[:, 3:4], lb[:, 4:5], lb[:, 5:6]
+            sx1, sx2 = (lminx - oxr) * idxr, (lmaxx - oxr) * idxr
+            sy1, sy2 = (lminy - oyr) * idyr, (lmaxy - oyr) * idyr
+            sz1, sz2 = (lminz - ozr) * idzr, (lmaxz - ozr) * idzr
+            smin = jnp.maximum(jnp.maximum(jnp.minimum(sx1, sx2),
+                                           jnp.minimum(sy1, sy2)),
+                               jnp.minimum(sz1, sz2))
+            smax = jnp.minimum(jnp.minimum(jnp.maximum(sx1, sx2),
+                                           jnp.maximum(sy1, sy2)),
+                               jnp.maximum(sz1, sz2))
+            tent2 = jnp.where((smax >= smin) & (smax > 0.0),
+                              smin, BIG_T)                 # (G, RB)
 
-            @pl.when(mintent_sm[kk, 0] < maxbest[0, 0])
-            def _():
-                # --- leaf-level slab test: one (G, RB) vector op ---
-                lb = leaf_aabb_ref[pl.ds(kk * G, G), :]        # (G, 8)
-                lminx, lminy, lminz = lb[:, 0:1], lb[:, 1:2], lb[:, 2:3]
-                lmaxx, lmaxy, lmaxz = lb[:, 3:4], lb[:, 4:5], lb[:, 5:6]
-                sx1, sx2 = (lminx - oxr) * idxr, (lmaxx - oxr) * idxr
-                sy1, sy2 = (lminy - oyr) * idyr, (lmaxy - oyr) * idyr
-                sz1, sz2 = (lminz - ozr) * idzr, (lmaxz - ozr) * idzr
-                smin = jnp.maximum(jnp.maximum(jnp.minimum(sx1, sx2),
-                                               jnp.minimum(sy1, sy2)),
-                                   jnp.minimum(sz1, sz2))
-                smax = jnp.minimum(jnp.minimum(jnp.maximum(sx1, sx2),
-                                               jnp.maximum(sy1, sy2)),
-                                   jnp.maximum(sz1, sz2))
-                tent2 = jnp.where((smax >= smin) & (smax > 0.0),
-                                  smin, BIG_T)                 # (G, RB)
+            for l in range(G):
+                # in-register vector->scalar gate per leaf
+                ml = jnp.min(tent2[l:l + 1, :])
 
-                for l in range(G):
-                    # in-register vector->scalar gate per leaf
-                    ml = jnp.min(tent2[l:l + 1, :])
+                @pl.when(ml < maxbest[0, 0])
+                def _(l=l):
+                    mt_leaf(kk * G + l)
 
-                    @pl.when(ml < maxbest[0, 0])
-                    def _(l=l):
-                        mt_leaf(kk * G + l)
-            return 0
+        if exact_order:
+            # walk in exact ascending entry order; the first gate failure
+            # ends the whole walk (every later supercluster is farther)
+            def wcond(k):
+                kk = order_sm[jnp.minimum(k, K1 - 1), 0]
+                return (k < K1) & (mintent_sm[kk, 0] < maxbest[0, 0])
 
-        jax.lax.fori_loop(0, K1, body, 0)
+            def wbody(k):
+                visit(order_sm[k, 0])
+                return k + 1
+
+            jax.lax.while_loop(wcond, wbody, 0)
+        else:
+            def body(k, _):
+                kk = order_ref[oidx, k]
+
+                @pl.when(mintent_sm[kk, 0] < maxbest[0, 0])
+                def _():
+                    visit(kk)
+                return 0
+
+            jax.lax.fori_loop(0, K1, body, 0)
 
     t_out[pl.ds(row, 1), :] = bt[:].reshape(1, RB)
     if not shadow:
@@ -243,7 +289,10 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
     out_spec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_bvh_kernel, limit, shadow, group)
+    # exact per-block ordering pays for itself while the scalar sort is
+    # cheap relative to the block's vector work
+    exact_order = K1 <= 64
+    kernel = functools.partial(_bvh_kernel, limit, shadow, group, exact_order)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
     # allocated but never read back)
@@ -269,6 +318,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
         scratch_shapes=[pltpu.VMEM((K1, RB), jnp.float32),
                         pltpu.VMEM((K1, 1), jnp.float32),
                         pltpu.SMEM((K1, 1), jnp.float32),
+                        pltpu.SMEM((K1, 1), jnp.int32),
                         pltpu.SemaphoreType.DMA(())]
         + [pltpu.VMEM((RB, 1), jnp.float32)] * 3
         + [pltpu.VMEM((RB, 1), jnp.int32)]
@@ -303,6 +353,11 @@ class BVHIntersector:
         self.sc_aabb = jnp.asarray(bvh.sc_aabb)
         self.orders = jnp.asarray(bvh.orders)
         self.perm = jnp.asarray(np.maximum(bvh.perm, 0))
+        # world bounds for bounce-ray sort keys (wavefront._sort_key)
+        lo = bvh.sc_aabb[:, 0:3].min(axis=0)
+        hi = bvh.sc_aabb[:, 3:6].max(axis=0)
+        self.world_lo = jnp.asarray(lo)
+        self.world_inv_span = jnp.asarray(1.0 / np.maximum(hi - lo, 1e-30))
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas

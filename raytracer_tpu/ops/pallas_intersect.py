@@ -406,6 +406,10 @@ class ClusterIntersector:
         self.orders = jnp.asarray(grid.orders)
         self.perm = jnp.asarray(np.maximum(grid.perm, 0))
         self.leaf_capacity = grid.cluster_size
+        lo = grid.aabb_min.min(axis=0)
+        hi = grid.aabb_max.max(axis=0)
+        self.world_lo = jnp.asarray(lo)
+        self.world_inv_span = jnp.asarray(1.0 / np.maximum(hi - lo, 1e-30))
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas

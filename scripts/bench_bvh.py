@@ -99,6 +99,19 @@ def main():
             dt = timeit(lambda: qb(hitp, bd, halive))
             print(f"  bounce closest   : {CHUNK/dt/1e6:8.1f} Mq/s", flush=True)
 
+            from raytracer_tpu.core.wavefront import _sort_key, _sort_rays
+
+            def sorted_query(o, d, a, i=isect):
+                skey = _sort_key(i, o, d, a)
+                orig = jnp.arange(o.shape[0], dtype=jnp.int32)
+                o, d, a, orig, _ = _sort_rays(skey, o, d, a, orig, [])
+                return i.query(scene, o, d, alive=a)
+
+            qbs = jax.jit(sorted_query)
+            dt = timeit(lambda: qbs(hitp, bd, halive))
+            print(f"  bounce sorted(+sort cost): {CHUNK/dt/1e6:6.1f} Mq/s",
+                  flush=True)
+
             qs = jax.jit(lambda o, d, a, i=isect: i.shadow(scene, o, d, alive=a))
             lp = scene.light_pos[0]
             sd = lp[None, :] - hitp
