@@ -48,6 +48,7 @@ class RayTracer:
                  recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
                  rows_per_frame: int = 50,
                  compat_v_bug: bool = False,
+                 bounce_t_hint_frac: float | None = None,
                  seed: int = 0):
         self.width = width
         self.height = height
@@ -65,6 +66,15 @@ class RayTracer:
         self.compat_v_bug = compat_v_bug
         self.intersector = intersector or make_intersector(
             accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf)
+        # static t-hint for two-pass bounce closest-hit: a fraction of the
+        # scene diagonal (bounce rays usually hit nearby geometry); only
+        # pays off for intersectors that cull on t_limit (the Pallas ones)
+        self.bounce_t_hint = None
+        if (bounce_t_hint_frac and len(self.scene_buffers.tri_verts)
+                and hasattr(self.intersector, "world_lo")):
+            v = np.asarray(self.scene_buffers.tri_verts).reshape(-1, 3)
+            diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
+            self.bounce_t_hint = bounce_t_hint_frac * diag
         self._key = jax.random.PRNGKey(seed)
         self._row_block_cache = {}
         self._sharded_render = None
@@ -99,6 +109,7 @@ class RayTracer:
         W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
         records, has_tex = self._shade_fast_args()
+        hint = self.bounce_t_hint
 
         def step(scene, cam, px, py, key):
             kj, kt = jax.random.split(key)
@@ -106,7 +117,8 @@ class RayTracer:
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
             return trace_radiance(scene, origins, dirs, kt, isect,
                                   rec, spread, shade_records=records,
-                                  has_textures=has_tex)
+                                  has_textures=has_tex,
+                                  bounce_t_hint=hint)
 
         return jax.jit(step)
 
@@ -183,6 +195,7 @@ class RayTracer:
         isect = self.intersector
         W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
+        hint = self.bounce_t_hint
         TW, TH = self.TILE_W, self.TILE_H
         Wp, Hp = -(-W // TW) * TW, -(-H // TH) * TH
 
@@ -201,31 +214,44 @@ class RayTracer:
 
         records, has_tex = self._shade_fast_args()
 
-        def step(scene, cam, key):
+        def render_once(scene, cam, key):
             kj, kt = jax.random.split(key)
             jitter = jax.random.uniform(kj, (px.shape[0], 2),
                                         dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
             rad = trace_radiance(scene, origins, dirs, kt, isect,
                                  rec, spread, shade_records=records,
-                                 has_textures=has_tex)
+                                 has_textures=has_tex,
+                                 bounce_t_hint=hint)
             img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))
             return img[:H, :W].reshape(H * W, 3)
 
-        return jax.jit(step)
+        def frame_loop(scene, cam, psum, psq, ns, key, spp):
+            # whole spp loop + film accumulation on device: ONE dispatch
+            # per render() call (host round-trips cost ~30 ms each here)
+            def body(_, carry):
+                psum, psq, ns, key = carry
+                key, k = jax.random.split(key)
+                rad = render_once(scene, cam, k)
+                return (psum + rad, psq + rad * rad, ns + 1.0, key)
+            return jax.lax.fori_loop(0, spp, body, (psum, psq, ns, key))
+
+        return jax.jit(frame_loop, donate_argnums=(2, 3, 4))
 
     def render(self, spp: int = 1) -> np.ndarray:
         """Render the full frame at `spp` samples per pixel; returns HDR
-        (H, W, 3) float32 mean radiance.  Whole-frame jitted steps with
-        dense film accumulation (the progressive row loop is only for
-        reference-parity interactive use)."""
+        (H, W, 3) float32 mean radiance.  One jitted whole-frame loop
+        with dense film accumulation (the progressive row loop is only
+        for reference-parity interactive use)."""
         if self._frame_step is None:
             self._frame_step = self._make_frame_step()
-        for _ in range(spp):
-            rad = self._frame_step(self.scene_arrays, self.camera.params(),
-                                   self._next_key())
-            self.film.add_full_frame(rad, 1.0)
+        f = self.film
+        psum, psq, ns, self._key = self._frame_step(
+            self.scene_arrays, self.camera.params(),
+            f.pixel_sum, f.pixel_sum_sq, f.num_samples, self._key,
+            jnp.int32(spp))
+        f.pixel_sum, f.pixel_sum_sq, f.num_samples = psum, psq, ns
         return self.get_hdr()
 
     def get_hdr(self) -> np.ndarray:

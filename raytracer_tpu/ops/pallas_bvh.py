@@ -207,13 +207,29 @@ def _bvh_kernel(limit, shadow, G, exact_order,
             tent2 = jnp.where((smax >= smin) & (smax > 0.0),
                               smin, BIG_T)                 # (G, RB)
 
-            for l in range(G):
-                # in-register vector->scalar gate per leaf
-                ml = jnp.min(tent2[l:l + 1, :])
+            # in-register vector->scalar reductions, one per leaf
+            ms = [jnp.min(tent2[l:l + 1, :]) for l in range(G)]
+            ls = [jnp.int32(l) for l in range(G)]
+            if G == 8:
+                # front-to-back leaf order: Batcher odd-even sorting
+                # network (19 scalar compare-swaps) so the earliest
+                # leaves tighten maxbest before the rest are gated
+                for (i, j) in ((0, 1), (2, 3), (4, 5), (6, 7),
+                               (0, 2), (1, 3), (4, 6), (5, 7),
+                               (1, 2), (5, 6),
+                               (0, 4), (1, 5), (2, 6), (3, 7),
+                               (2, 4), (3, 5),
+                               (1, 2), (3, 4), (5, 6)):
+                    swap = ms[i] > ms[j]
+                    ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
+                                    jnp.where(swap, ms[i], ms[j]))
+                    ls[i], ls[j] = (jnp.where(swap, ls[j], ls[i]),
+                                    jnp.where(swap, ls[i], ls[j]))
 
-                @pl.when(ml < maxbest[0, 0])
-                def _(l=l):
-                    mt_leaf(kk * G + l)
+            for r in range(G):
+                @pl.when(ms[r] < maxbest[0, 0])
+                def _(r=r):
+                    mt_leaf(kk * G + ls[r])
 
         if exact_order:
             # walk in exact ascending entry order; the first gate failure
@@ -291,7 +307,8 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
 
     # exact per-block ordering pays for itself while the scalar sort is
     # cheap relative to the block's vector work
-    exact_order = K1 <= 64
+    import os
+    exact_order = K1 <= 64 and os.environ.get("RTX_EXACT_ORDER", "1") != "0"
     kernel = functools.partial(_bvh_kernel, limit, shadow, group, exact_order)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
