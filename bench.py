@@ -27,7 +27,7 @@ H = int(os.environ.get("BENCH_HEIGHT", 1024))
 SPP = int(os.environ.get("BENCH_SPP", 4))
 SCENE = os.environ.get("BENCH_SCENE", "data/thai2.dae")
 ACCEL = os.environ.get("BENCH_ACCEL", "bvh")
-TPL = int(os.environ.get("BENCH_TPL", 128))
+TPL = int(os.environ.get("BENCH_TPL", 256))
 TARGET_MRAYS = 100.0
 
 

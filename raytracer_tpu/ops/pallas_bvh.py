@@ -207,8 +207,10 @@ def _bvh_kernel(limit, shadow, G, exact_order,
             tent2 = jnp.where((smax >= smin) & (smax > 0.0),
                               smin, BIG_T)                 # (G, RB)
 
-            # in-register vector->scalar reductions, one per leaf
-            ms = [jnp.min(tent2[l:l + 1, :]) for l in range(G)]
+            # one (G, RB) -> (G, 1) reduction, then G scalar extracts
+            # (cheaper than G separate full-row reductions)
+            m8 = jnp.min(tent2, axis=1, keepdims=True)     # (G, 1)
+            ms = [m8[l, 0] for l in range(G)]
             ls = [jnp.int32(l) for l in range(G)]
             if G == 8:
                 # front-to-back leaf order: Batcher odd-even sorting
