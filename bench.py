@@ -41,9 +41,17 @@ def main():
 
     rt = rtx.create_raytracer_from_file(SCENE, width=W, height=H,
                                         accel=ACCEL, triangles_per_leaf=TPL)
-    # warmup: compile the whole-frame step
-    rt.render(1)
-    jax.block_until_ready(rt.film.pixel_sum)
+    # warmup: compile the whole-frame step (retry once — the remote
+    # compile tunnel occasionally drops a response mid-read)
+    for attempt in (0, 1):
+        try:
+            rt.render(1)
+            jax.block_until_ready(rt.film.pixel_sum)
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(5)
 
     t0 = time.perf_counter()
     rt.render(SPP)

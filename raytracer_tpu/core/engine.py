@@ -281,9 +281,11 @@ class RayTracer:
             _per_device_keys, make_sharded_render, pixel_grid)
         mesh = mesh or make_mesh()
         if self._sharded_render is None or self._sharded_mesh is not mesh:
+            records, has_tex = self._shade_fast_args()
             self._sharded_render = make_sharded_render(
                 mesh, self.intersector, self.width, self.height,
-                self.recursions, self.spread)
+                self.recursions, self.spread,
+                shade_records=records, has_textures=has_tex)
             self._sharded_mesh = mesh
         px, py, real = pixel_grid(self.width, self.height,
                                   pad_to=mesh.devices.size)

@@ -89,7 +89,20 @@ def _sort_key(isect, origins, dirs, alive):
     octant = ((dirs[:, 0] >= 0).astype(jnp.int32)
               + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
               + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
-    key = (octant << 21) | morton
+    import os
+    mode = os.environ.get("RTX_SORT_KEY", "dir6")
+    if mode == "posmajor":        # measured: 0.97 Mrays/s e2e on thai2
+        key = (morton << 3) | octant
+    elif mode == "dirmajor":      # measured: 1.42
+        key = (octant << 21) | morton
+    else:                         # "dir6", measured: 1.55 — the default
+        # finer direction bins: 2 bits/axis of the inf-norm-scaled
+        # direction -> 64 bins (major), then a 15-bit origin Morton
+        mag = jnp.max(jnp.abs(dirs), axis=1, keepdims=True)
+        qd = jnp.clip(((dirs / jnp.maximum(mag, 1e-30)) + 1.0) * 2.0,
+                      0.0, 3.0).astype(jnp.int32)        # (R, 3) in 0..3
+        dirbin = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
+        key = (dirbin << 15) | (morton >> 6)
     return jnp.where(alive, key, jnp.int32(2 ** 30))
 
 

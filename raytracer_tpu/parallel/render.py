@@ -37,10 +37,12 @@ def _per_device_keys(key, mesh):
 
 
 def make_sharded_render(mesh, intersector, width: int, height: int,
-                        recursions: int = 2, spread: int = 1):
+                        recursions: int = 2, spread: int = 1,
+                        shade_records=None, has_textures: bool = True):
     """Returns render(scene, cam, px, py, keys) -> radiance (R, 3), with
     px/py/radiance sharded over the `rays` axis and scene/cam replicated.
-    R must divide evenly by the mesh size."""
+    R must divide evenly by the mesh size.  shade_records (closure
+    constant -> replicated) enables the forward fast shading path."""
 
     def local(scene, cam, px, py, keys):
         key = keys[0]  # this device's row of the (n_dev, 2) key array
@@ -48,7 +50,9 @@ def make_sharded_render(mesh, intersector, width: int, height: int,
         jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
         origins, dirs = generate_rays(cam, px, py, jitter, width, height)
         return trace_radiance(scene, origins, dirs, kt, intersector,
-                              recursions, spread)
+                              recursions, spread,
+                              shade_records=shade_records,
+                              has_textures=has_textures)
 
     sharded = shard_map(
         local, mesh=mesh,
