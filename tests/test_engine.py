@@ -126,3 +126,32 @@ def test_simple_map_reinhard():
     x = jnp.array([[0.0, 1.0, 3.0]])
     np.testing.assert_allclose(np.asarray(simple_map(x)),
                                [[0.0, 0.5, 0.75]], rtol=1e-6)
+
+
+def test_sorting_is_result_invariant(data_dir):
+    """Ray sorting must not change the image: sampling draws are assigned
+    in canonical pixel order and carried through the sort as payload
+    (wavefront._sort_rays), so sorted and unsorted traversal orders
+    produce bit-equal radiance."""
+    import jax
+    from raytracer_tpu.core.wavefront import trace_radiance
+    from raytracer_tpu.models.camera import generate_rays
+    from raytracer_tpu.models.collada import ColladaLoader
+    from raytracer_tpu.ops.pallas_bvh import BVHIntersector
+
+    scene = ColladaLoader.from_file(str(data_dir / "4boxes.dae"),
+                                    width=W, height=H, verbose=False)
+    buf = scene.to_buffers()
+    dev = buf.to_device()
+    isect = BVHIntersector(buf, use_pallas=False)
+    cam = scene.cameras[0].params()
+    px = jnp.asarray(np.tile(np.arange(W, dtype=np.int32), 4))
+    py = jnp.asarray(np.repeat(np.arange(4, dtype=np.int32), W))
+    key = jax.random.PRNGKey(11)
+    jitter = jax.random.uniform(jax.random.PRNGKey(12), (px.shape[0], 2),
+                                dtype=jnp.float32)
+    o, d = generate_rays(cam, px, py, jitter, W, H)
+    r_sorted = trace_radiance(dev, o, d, key, isect, 2, 1, sort_rays=True)
+    r_unsorted = trace_radiance(dev, o, d, key, isect, 2, 1, sort_rays=False)
+    np.testing.assert_array_equal(np.asarray(r_sorted),
+                                  np.asarray(r_unsorted))
