@@ -49,6 +49,7 @@ class RayTracer:
                  rows_per_frame: int = 50,
                  compat_v_bug: bool = False,
                  bounce_t_hint_frac: float | None = None,
+                 sort_key_mode: str = "dir6",
                  seed: int = 0):
         self.width = width
         self.height = height
@@ -64,6 +65,7 @@ class RayTracer:
         self.recursions = recursions
         self.spread = spread
         self.compat_v_bug = compat_v_bug
+        self.sort_key_mode = sort_key_mode
         self.intersector = intersector or make_intersector(
             accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf)
         # static t-hint for two-pass bounce closest-hit: a fraction of the
@@ -118,7 +120,8 @@ class RayTracer:
             return trace_radiance(scene, origins, dirs, kt, isect,
                                   rec, spread, shade_records=records,
                                   has_textures=has_tex,
-                                  bounce_t_hint=hint)
+                                  bounce_t_hint=hint,
+                                  sort_key_mode=self.sort_key_mode)
 
         return jax.jit(step)
 
@@ -222,7 +225,8 @@ class RayTracer:
             rad = trace_radiance(scene, origins, dirs, kt, isect,
                                  rec, spread, shade_records=records,
                                  has_textures=has_tex,
-                                 bounce_t_hint=hint)
+                                 bounce_t_hint=hint,
+                                 sort_key_mode=self.sort_key_mode)
             img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))
             return img[:H, :W].reshape(H * W, 3)

@@ -75,12 +75,19 @@ def _expand3(x):
     return x
 
 
-def _sort_key(isect, origins, dirs, alive):
-    """Spatial sort key for bounce rays: direction octant (major) then a
-    21-bit Morton code of the spawn origin (minor); dead rays key past
-    everything.  Blocks then share one octant and a tight origin cell —
-    exactly what the kernel's per-block front-to-back walk and AABB
-    culling want."""
+def _sort_key(isect, origins, dirs, alive, mode="dir6"):
+    """Spatial sort key for bounce rays: direction bins (major) then a
+    Morton code of the spawn origin (minor); dead rays key past
+    everything.  Blocks then share one direction bin and a tight origin
+    cell — exactly what the kernel's per-block front-to-back walk and
+    AABB culling want.
+
+    mode (measured e2e Mrays/s on thai2 1024^2, round 2):
+      "dir6"     1.55 — 64 direction bins major, 15-bit Morton minor
+                 (the measured-best default)
+      "dirmajor" 1.42 — 8 octants major, 21-bit Morton minor
+      "posmajor" 0.97 — Morton major, octant minor
+    """
     lo, inv_span = isect.world_lo, isect.world_inv_span
     q = jnp.clip((origins - lo) * inv_span * 128.0, 0.0, 127.0)
     q = q.astype(jnp.int32)
@@ -89,13 +96,11 @@ def _sort_key(isect, origins, dirs, alive):
     octant = ((dirs[:, 0] >= 0).astype(jnp.int32)
               + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
               + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
-    import os
-    mode = os.environ.get("RTX_SORT_KEY", "dir6")
-    if mode == "posmajor":        # measured: 0.97 Mrays/s e2e on thai2
+    if mode == "posmajor":
         key = (morton << 3) | octant
-    elif mode == "dirmajor":      # measured: 1.42
+    elif mode == "dirmajor":
         key = (octant << 21) | morton
-    else:                         # "dir6", measured: 1.55 — the default
+    elif mode == "dir6":
         # finer direction bins: 2 bits/axis of the inf-norm-scaled
         # direction -> 64 bins (major), then a 15-bit origin Morton
         mag = jnp.max(jnp.abs(dirs), axis=1, keepdims=True)
@@ -103,6 +108,8 @@ def _sort_key(isect, origins, dirs, alive):
                       0.0, 3.0).astype(jnp.int32)        # (R, 3) in 0..3
         dirbin = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
         key = (dirbin << 15) | (morton >> 6)
+    else:
+        raise ValueError(f"unknown sort_key_mode {mode!r}")
     return jnp.where(alive, key, jnp.int32(2 ** 30))
 
 
@@ -153,7 +160,8 @@ def _unsort_radiance(rad, orig):
 def trace_radiance(scene, origins, dirs, key, isect,
                    recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
                    sort_rays: bool = True, shade_records=None,
-                   has_textures: bool = True, bounce_t_hint=None):
+                   has_textures: bool = True, bounce_t_hint=None,
+                   sort_key_mode: str = "dir6"):
     """Radiance for R primary rays, bounce tree unrolled.
 
     isect: pluggable acceleration structure exposing
@@ -231,7 +239,8 @@ def trace_radiance(scene, origins, dirs, key, isect,
             child_alive = jnp.repeat(alive, b, axis=0)
 
             if do_sort:
-                skey = _sort_key(isect, child_o, child_d, child_alive)
+                skey = _sort_key(isect, child_o, child_d, child_alive,
+                                 mode=sort_key_mode)
                 # original (pixel-order) index of each child: parents are
                 # themselves sorted, so map through the parent ordering
                 if perm_total is None:

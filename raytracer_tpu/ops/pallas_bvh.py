@@ -264,10 +264,12 @@ def _bvh_kernel(limit, shadow, G, exact_order,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t_limit", "shadow",
-                                             "ray_block", "group"))
+                                             "ray_block", "group",
+                                             "exact_order"))
 def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
                        interpret=False, t_limit=None, shadow=False,
-                       ray_block=DEFAULT_RAY_BLOCK, group=8):
+                       ray_block=DEFAULT_RAY_BLOCK, group=8,
+                       exact_order=None):
     """origins/dirs: (R, 3) with R a multiple of 8*ray_block.
     v0/e1/e2: (NL, C, 3) packed triangle SoA; leaf_aabb: (NL, 8);
     sc_aabb: (K1, 8) with NL = K1*group; orders: (6, K1) int32.
@@ -308,9 +310,9 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
                             memory_space=pltpu.VMEM)
 
     # exact per-block ordering pays for itself while the scalar sort is
-    # cheap relative to the block's vector work
-    import os
-    exact_order = K1 <= 64 and os.environ.get("RTX_EXACT_ORDER", "1") != "0"
+    # cheap relative to the block's vector work (measured default)
+    if exact_order is None:
+        exact_order = K1 <= 64
     kernel = functools.partial(_bvh_kernel, limit, shadow, group, exact_order)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
@@ -358,7 +360,8 @@ class BVHIntersector:
 
     def __init__(self, scene_buffers, triangles_per_leaf: int = 128,
                  group: int = 8, ray_block: int = DEFAULT_RAY_BLOCK,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 exact_order: bool | None = None):
         bvh = build_bvh2(np.asarray(scene_buffers.tri_verts),
                          triangles_per_leaf=triangles_per_leaf, group=group)
         self.bvh = bvh
@@ -380,6 +383,7 @@ class BVHIntersector:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.exact_order = exact_order
 
     def _pad(self, origins, dirs):
         R = origins.shape[0]
@@ -408,7 +412,8 @@ class BVHIntersector:
             t, u, v, i = pallas_bvh_closest(
                 origins, dirs, self.v0, self.e1, self.e2, self.leaf_aabb,
                 self.sc_aabb, self.orders, t_limit=t_limit,
-                ray_block=self.ray_block, group=self.group)
+                ray_block=self.ray_block, group=self.group,
+                exact_order=self.exact_order)
             t, u, v, i = t[:R], u[:R], v[:R], i[:R]
         else:
             t, u, v, i = xla_cluster_closest(
@@ -432,7 +437,8 @@ class BVHIntersector:
             t = pallas_bvh_closest(
                 origins, dirs, self.v0, self.e1, self.e2, self.leaf_aabb,
                 self.sc_aabb, self.orders, t_limit=t_max, shadow=True,
-                ray_block=self.ray_block, group=self.group)[:R]
+                ray_block=self.ray_block, group=self.group,
+                exact_order=self.exact_order)[:R]
         else:
             t, _, _, _ = xla_cluster_closest(
                 origins, dirs, self.v0, self.e1, self.e2,

@@ -22,11 +22,31 @@ RAY_AXIS = "rays"
 
 def initialize_distributed(**kwargs):
     """Multi-host bring-up (jax.distributed.initialize passthrough).
-    No-op if already initialized or single-process."""
+
+    Returns True when the distributed runtime is live after the call
+    (newly initialized or already initialized), False for an explicit
+    single-process run (no coordinator configured).  A real bring-up
+    failure — coordinator unreachable, bad process ids — RAISES so a
+    multi-host launch never degrades silently into N independent
+    single-process renders."""
+    import logging
+    log = logging.getLogger(__name__)
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized / single-process run
+        return True
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            log.info("jax.distributed already initialized")
+            return True
+        raise
+    except ValueError as e:
+        # jax raises ValueError when no coordinator address can be
+        # derived (plain single-process environment): that is the one
+        # benign case
+        if kwargs.get("coordinator_address") is None:
+            log.info("single-process run (no coordinator): %s", e)
+            return False
+        raise
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
