@@ -278,26 +278,30 @@ class RayTracer:
 
     def render_sharded(self, spp: int = 1, mesh=None) -> np.ndarray:
         """Full-frame render with pixels sharded over a device mesh
-        (rays data-parallel, scene replicated).  Accumulates into the
-        film like `render`; returns the HDR image."""
+        (rays data-parallel, scene replicated).  The spp loop and film
+        moments accumulate on device — ONE dispatch per call, like
+        `render` — then fold into the film with a dense add (pixel_grid
+        is row-major, so shard slices line up with film indices)."""
         from raytracer_tpu.parallel.mesh import make_mesh
         from raytracer_tpu.parallel.render import (
-            _per_device_keys, make_sharded_render, pixel_grid)
+            _per_device_keys, make_sharded_frame_loop, pixel_grid)
         mesh = mesh or make_mesh()
         if self._sharded_render is None or self._sharded_mesh is not mesh:
             records, has_tex = self._shade_fast_args()
-            self._sharded_render = make_sharded_render(
+            self._sharded_render = make_sharded_frame_loop(
                 mesh, self.intersector, self.width, self.height,
                 self.recursions, self.spread,
-                shade_records=records, has_textures=has_tex)
+                shade_records=records, has_textures=has_tex,
+                sort_key_mode=self.sort_key_mode)
             self._sharded_mesh = mesh
         px, py, real = pixel_grid(self.width, self.height,
                                   pad_to=mesh.devices.size)
-        pxj, pyj = jnp.asarray(px), jnp.asarray(py)
-        for _ in range(spp):
-            keys = _per_device_keys(self._next_key(), mesh)
-            rad = self._sharded_render(self.scene_arrays,
-                                       self.camera.params(), pxj, pyj, keys)
-            self.film.add_samples(
-                jnp.asarray(py[:real] * self.width + px[:real]), rad[:real])
+        keys = _per_device_keys(self._next_key(), mesh)
+        psum, psq = self._sharded_render(
+            self.scene_arrays, self.camera.params(),
+            jnp.asarray(px), jnp.asarray(py), keys, jnp.int32(spp))
+        f = self.film
+        f.pixel_sum = f.pixel_sum + psum[:real]
+        f.pixel_sum_sq = f.pixel_sum_sq + psq[:real]
+        f.num_samples = f.num_samples + float(spp)
         return self.get_hdr()

@@ -68,6 +68,56 @@ def make_sharded_render(mesh, intersector, width: int, height: int,
     return render
 
 
+def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
+                            recursions: int = 2, spread: int = 1,
+                            shade_records=None, has_textures: bool = True,
+                            sort_key_mode: str = "dir6"):
+    """Whole-frame multi-spp render with pixels sharded over the mesh:
+    the spp loop and film-moment accumulation run ON DEVICE (one dispatch
+    per call, like the single-chip `RayTracer._make_frame_step`), instead
+    of one dispatch + host scatter per sample.
+
+    Returns frame(scene, cam, px, py, keys, spp) -> (psum, psq), both
+    (R, 3) sharded over rays: the per-pixel radiance sum and sum of
+    squares over `spp` samples.  Each device folds its own key stream
+    per sample (keys: (n_dev, 2) from `_per_device_keys`)."""
+
+    def local(scene, cam, px, py, keys, spp):
+        key = keys[0]
+        r = px.shape[0]
+
+        def body(_, carry):
+            psum, psq, key = carry
+            key, k = jax.random.split(key)
+            kj, kt = jax.random.split(k)
+            jitter = jax.random.uniform(kj, (r, 2), dtype=jnp.float32)
+            origins, dirs = generate_rays(cam, px, py, jitter, width, height)
+            rad = trace_radiance(scene, origins, dirs, kt, intersector,
+                                 recursions, spread,
+                                 shade_records=shade_records,
+                                 has_textures=has_textures,
+                                 sort_key_mode=sort_key_mode)
+            return (psum + rad, psq + rad * rad, key)
+
+        init = (jnp.zeros((r, 3), jnp.float32),
+                jnp.zeros((r, 3), jnp.float32), key)
+        psum, psq, _ = jax.lax.fori_loop(0, spp, body, init)
+        return psum, psq
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def frame(scene, cam, px, py, keys, spp):
+        return sharded(scene, cam, px, py, keys, spp)
+
+    return frame
+
+
 def make_sharded_train_step(mesh, intersector, width: int, height: int,
                             optimizer, recursions: int = 2, spread: int = 1):
     """Sharded inverse-rendering step (BASELINE.json config #5 analogue):

@@ -8,6 +8,7 @@ setting and writes result.txt plus a JSON summary.
 
 Usage: python scripts/collect.py [--scene data/thai2.dae] [--width 512]
        [--height 512] [--iters 12] [--values 128 256 512 1024]
+       [--accel bvh]
 """
 
 from __future__ import annotations
@@ -29,6 +30,8 @@ def main():
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--values", type=int, nargs="+",
                     default=[128, 256, 512, 1024])
+    ap.add_argument("--accel", default="bvh",
+                    help="production default; 'cluster' for the round-1 grid")
     ap.add_argument("--out", default="result.txt")
     args = ap.parse_args()
 
@@ -39,7 +42,7 @@ def main():
     for tpl in args.values:
         rt = rtx.create_raytracer_from_file(
             args.scene, width=args.width, height=args.height,
-            accel="cluster", triangles_per_leaf=tpl)
+            accel=args.accel, triangles_per_leaf=tpl)
         rt.trace_frame_additive()               # compile + warm
         jax.block_until_ready(rt.film.pixel_sum)
         t0 = time.perf_counter()

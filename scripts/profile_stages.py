@@ -90,13 +90,13 @@ def main():
                            jax.jit(lambda c, h, k: spawn(c, h, k, 2)),
                            ctx0, q0, jax.random.PRNGKey(1))
 
-    def sort1(hit, d, a):
-        skey = _sort_key(isect, hit, d, a, 2)
+    def sort1(o, d, a):
+        skey = _sort_key(isect, o, d, a)
         perm = jnp.argsort(skey)
         return perm, jnp.argsort(perm)
 
     perm1, inv1 = timeit("sort L1 keys+argsort x2 (2M)",
-                         jax.jit(sort1), q0, c1d, c1a)
+                         jax.jit(sort1), c1o, c1d, c1a)
 
     def apply_perm(o, d, a, p):
         return o[p], d[p], a[p]

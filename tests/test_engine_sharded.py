@@ -1,29 +1,106 @@
-"""Engine-level sharded rendering on the 8-device CPU mesh."""
+"""Engine-level sharded rendering on the 8-device CPU mesh: the fused
+on-device spp loop must reproduce, shard for shard and key for key, what
+the unsharded pipeline computes with the same per-device key streams."""
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from raytracer_tpu import create_raytracer_from_file
+from raytracer_tpu.core.wavefront import trace_radiance
+from raytracer_tpu.models.camera import generate_rays
 from raytracer_tpu.parallel.mesh import make_mesh
+from raytracer_tpu.parallel.render import _per_device_keys, pixel_grid
+
+W, H = 32, 16
+SPP = 2
+SEED = 11
 
 
-def test_render_sharded_matches_single(data_dir):
-    W, H = 32, 16
+def _expected_film(rt, mesh, keys, px, py, spp):
+    """Replay the sharded frame loop on the unsharded pipeline: device
+    `di` renders its row-major shard, splitting its own key per sample
+    (matches make_sharded_frame_loop.local exactly)."""
+    n = mesh.devices.size
+    shard = len(px) // n
+    cam = rt.camera.params()
+    psum = np.zeros((len(px), 3), np.float32)
+    psq = np.zeros((len(px), 3), np.float32)
+    for di in range(n):
+        sl = slice(di * shard, (di + 1) * shard)
+        key = keys[di]
+        for _ in range(spp):
+            key, k = jax.random.split(key)
+            kj, kt = jax.random.split(k)
+            jitter = jax.random.uniform(kj, (shard, 2), dtype=jnp.float32)
+            o, d = generate_rays(cam, jnp.asarray(px[sl]), jnp.asarray(py[sl]),
+                                 jitter, W, H)
+            rad = np.asarray(trace_radiance(
+                rt.scene_arrays, o, d, kt, rt.intersector,
+                rt.recursions, rt.spread))
+            psum[sl] += rad
+            psq[sl] += rad * rad
+    return psum, psq
+
+
+def test_render_sharded_matches_replayed_keys(data_dir):
+    """Strict key-matched allclose at recursions=0: direct lighting is
+    deterministic given the jitter draws, so the fused on-device spp
+    loop must reproduce the replayed unsharded pipeline exactly."""
     rt = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
                                     width=W, height=H, accel="brute",
-                                    recursions=0, seed=11)
+                                    recursions=0, seed=SEED)
     mesh = make_mesh()
-    hdr = rt.render_sharded(spp=1, mesh=mesh)
-    assert hdr.shape == (H, W, 3)
-    samples = np.asarray(rt.film.num_samples)
-    assert (samples == 1).all()
 
-    rt2 = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
-                                     width=W, height=H, accel="brute",
-                                     recursions=0, seed=11)
-    hdr2 = rt2.render(spp=1)
-    # different RNG partitioning (per-device keys vs per-frame key), but
-    # the same scene and deterministic shading structure: image stats
-    # must agree closely on a direct-lighting render
-    assert abs(float(hdr.mean()) - float(hdr2.mean())) < 0.05 * (abs(float(hdr2.mean())) + 1e-3)
-    # silhouette pixels flip with different jitter draws at 1 spp
-    assert ((hdr.max(-1) > 0) == (np.asarray(hdr2).max(-1) > 0)).mean() > 0.9
+    # reproduce the engine's key derivation before invoking it
+    key0, frame_key = jax.random.split(jax.random.PRNGKey(SEED))
+    keys = _per_device_keys(frame_key, mesh)
+    px, py, real = pixel_grid(W, H, pad_to=mesh.devices.size)
+
+    hdr = rt.render_sharded(spp=SPP, mesh=mesh)
+    assert hdr.shape == (H, W, 3)
+    assert (np.asarray(rt.film.num_samples) == SPP).all()
+
+    psum, psq = _expected_film(rt, mesh, keys, px, py, SPP)
+    np.testing.assert_allclose(np.asarray(rt.film.pixel_sum), psum[:real],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rt.film.pixel_sum_sq), psq[:real],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hdr.reshape(-1, 3), psum[:real] / SPP,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_render_sharded_bounce_level_agrees(data_dir):
+    """With bounces, a ray whose hemisphere draw sits at dot≈0 can flip
+    under different XLA fusion (fori_loop body vs standalone jit), so a
+    bitwise replay is not defined; require near-total elementwise
+    agreement and tight bounds on the stragglers."""
+    rt = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
+                                    width=W, height=H, accel="brute",
+                                    recursions=1, seed=SEED)
+    mesh = make_mesh()
+    key0, frame_key = jax.random.split(jax.random.PRNGKey(SEED))
+    keys = _per_device_keys(frame_key, mesh)
+    px, py, real = pixel_grid(W, H, pad_to=mesh.devices.size)
+    rt.render_sharded(spp=SPP, mesh=mesh)
+    psum, _ = _expected_film(rt, mesh, keys, px, py, SPP)
+    got = np.asarray(rt.film.pixel_sum)
+    close = np.isclose(got, psum[:real], rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} elementwise-close"
+    # the flipped rays must be isolated pixels, not a systematic bias
+    assert abs(got.mean() - psum[:real].mean()) < 0.02 * abs(psum.mean())
+
+
+def test_render_sharded_accumulates_additively(data_dir):
+    rt = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
+                                    width=W, height=H, accel="brute",
+                                    recursions=0, seed=3)
+    mesh = make_mesh()
+    rt.render_sharded(spp=1, mesh=mesh)
+    s1 = np.asarray(rt.film.pixel_sum).copy()
+    rt.render_sharded(spp=2, mesh=mesh)
+    assert (np.asarray(rt.film.num_samples) == 3).all()
+    # second call adds on top of the first (different frame keys)
+    s3 = np.asarray(rt.film.pixel_sum)
+    assert (s3 >= s1 - 1e-6).all()
+    assert np.isfinite(s3).all()
