@@ -42,7 +42,7 @@ from raytracer_tpu.ops.pallas_intersect import (
 DEFAULT_RAY_BLOCK = 128
 
 
-def _bvh_kernel(limit, shadow, G, exact_order,
+def _bvh_kernel(limit, shadow, G, exact_order, SG,
                 oidx_ref,                     # SMEM (1, nb) int32
                 alive_ref,                    # SMEM (1, nb) int32
                 order_ref,                    # SMEM (6, K1) int32
@@ -57,10 +57,11 @@ def _bvh_kernel(limit, shadow, G, exact_order,
                 order_sm,                     # scratch SMEM (K1, 1) int32
                 sem,                          # DMA semaphore
                 bt, bu, bv, bi,               # scratch (RB, 1)
-                maxbest):                     # scratch SMEM (1, 1) f32
+                maxbest):                     # scratch SMEM (nsub, 1) f32
     K1 = sc_aabb_ref.shape[0]
     C = v0x.shape[1]
     RB = o_ref.shape[0]
+    nsub = RB // SG
     row = pl.program_id(1)
 
     o = o_ref[:]
@@ -85,12 +86,13 @@ def _bvh_kernel(limit, shadow, G, exact_order,
     # the block's culling threshold at BIG_T
     alive_row = jnp.abs(ox) < _ALIVE_LIMIT               # (RB, 1) bool
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RB, C), dimension=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SG, C), dimension=1)
 
     blk = pl.program_id(0) * 8 + row
     oidx = oidx_ref[0, blk]
 
-    maxbest[0, 0] = jnp.float32(min(BIG_T, limit))
+    for s in range(nsub):
+        maxbest[s, 0] = jnp.float32(min(BIG_T, limit))
 
     @pl.when(alive_ref[0, blk] != 0)
     def _():
@@ -143,8 +145,11 @@ def _bvh_kernel(limit, shadow, G, exact_order,
                 return 0
             jax.lax.fori_loop(1, K1, ins, 0)
 
-        def mt_leaf(leaf):
-            """Möller–Trumbore of the whole block against leaf `leaf`."""
+        def mt_leaf(leaf, s):
+            """Möller–Trumbore of sub-group `s` (rows [s*SG, (s+1)*SG))
+            against leaf `leaf`.  `s` is a compile-time index, `leaf` a
+            traced one."""
+            sl = slice(s * SG, (s + 1) * SG)
             av0x = v0x[pl.ds(leaf, 1), :]                # (1, C)
             av0y = v0y[pl.ds(leaf, 1), :]
             av0z = v0z[pl.ds(leaf, 1), :]
@@ -155,26 +160,28 @@ def _bvh_kernel(limit, shadow, G, exact_order,
             ae2y = e2y[pl.ds(leaf, 1), :]
             ae2z = e2z[pl.ds(leaf, 1), :]
 
-            # (RB,1) ray x (1,C) triangle -> (RB,C)
-            px = dy * ae2z - dz * ae2y
-            py = dz * ae2x - dx * ae2z
-            pz = dx * ae2y - dy * ae2x
+            # (SG,1) ray x (1,C) triangle -> (SG,C)
+            sdx, sdy, sdz = dx[sl], dy[sl], dz[sl]
+            sox, soy, soz = ox[sl], oy[sl], oz[sl]
+            px = sdy * ae2z - sdz * ae2y
+            py = sdz * ae2x - sdx * ae2z
+            pz = sdx * ae2y - sdy * ae2x
             det = ae1x * px + ae1y * py + ae1z * pz
             non_par = jnp.abs(det) >= F32_EPSILON
             inv_det = 1.0 / jnp.where(non_par, det, 1.0)
-            tvx, tvy, tvz = ox - av0x, oy - av0y, oz - av0z
+            tvx, tvy, tvz = sox - av0x, soy - av0y, soz - av0z
             uu = (tvx * px + tvy * py + tvz * pz) * inv_det
             qx = tvy * ae1z - tvz * ae1y
             qy = tvz * ae1x - tvx * ae1z
             qz = tvx * ae1y - tvy * ae1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            vv = (sdx * qx + sdy * qy + sdz * qz) * inv_det
             tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
             ok = (non_par & (uu >= 0.0) & (uu <= 1.0)
                   & (vv >= 0.0) & (uu + vv <= 1.0) & (tt >= 0.0))
             tt = jnp.where(ok, tt, BIG_T)
 
-            tmin_row = jnp.min(tt, axis=1, keepdims=True)      # (RB, 1)
-            better = tmin_row < bt[:]
+            tmin_row = jnp.min(tt, axis=1, keepdims=True)      # (SG, 1)
+            better = tmin_row < bt[sl]
             if not shadow:
                 jhot = (tt == tmin_row) & (tmin_row < BIG_T)
                 jfirst = jnp.min(jnp.where(jhot, lane, C), axis=1,
@@ -182,12 +189,12 @@ def _bvh_kernel(limit, shadow, G, exact_order,
                 sel = lane == jfirst
                 uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1, keepdims=True)
                 vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1, keepdims=True)
-                bu[:] = jnp.where(better, uj, bu[:])
-                bv[:] = jnp.where(better, vj, bv[:])
-                bi[:] = jnp.where(better, leaf * C + jfirst, bi[:])
-            bt[:] = jnp.where(better, tmin_row, bt[:])
-            maxbest[0, 0] = jnp.minimum(
-                jnp.max(jnp.where(alive_row, bt[:], 0.0)),
+                bu[sl] = jnp.where(better, uj, bu[sl])
+                bv[sl] = jnp.where(better, vj, bv[sl])
+                bi[sl] = jnp.where(better, leaf * C + jfirst, bi[sl])
+            bt[sl] = jnp.where(better, tmin_row, bt[sl])
+            maxbest[s, 0] = jnp.minimum(
+                jnp.max(jnp.where(alive_row[sl], bt[sl], 0.0)),
                 jnp.float32(limit))
 
         def visit(kk):
@@ -207,15 +214,22 @@ def _bvh_kernel(limit, shadow, G, exact_order,
             tent2 = jnp.where((smax >= smin) & (smax > 0.0),
                               smin, BIG_T)                 # (G, RB)
 
-            # one (G, RB) -> (G, 1) reduction, then G scalar extracts
-            # (cheaper than G separate full-row reductions)
-            m8 = jnp.min(tent2, axis=1, keepdims=True)     # (G, 1)
-            ms = [m8[l, 0] for l in range(G)]
+            # per-(leaf, sub-group) entry minima: nsub (G, SG) -> (G, 1)
+            # reductions + scalar extracts.  The per-leaf block min (for
+            # the front-to-back ordering) is the min over the sub-groups.
+            msub = [jnp.min(tent2[:, slice(s * SG, (s + 1) * SG)],
+                            axis=1, keepdims=True)         # (G, 1)
+                    for s in range(nsub)]
+            mss = [[m[l, 0] for l in range(G)] for m in msub]  # [nsub][G]
+            ms = list(mss[0])
+            for s in range(1, nsub):
+                ms = [jnp.minimum(a, b) for a, b in zip(ms, mss[s])]
             ls = [jnp.int32(l) for l in range(G)]
             if G == 8:
                 # front-to-back leaf order: Batcher odd-even sorting
                 # network (19 scalar compare-swaps) so the earliest
-                # leaves tighten maxbest before the rest are gated
+                # leaves tighten maxbest before the rest are gated; the
+                # per-sub-group minima ride the network as payloads
                 for (i, j) in ((0, 1), (2, 3), (4, 5), (6, 7),
                                (0, 2), (1, 3), (4, 6), (5, 7),
                                (1, 2), (5, 6),
@@ -227,18 +241,30 @@ def _bvh_kernel(limit, shadow, G, exact_order,
                                     jnp.where(swap, ms[i], ms[j]))
                     ls[i], ls[j] = (jnp.where(swap, ls[j], ls[i]),
                                     jnp.where(swap, ls[i], ls[j]))
+                    for s in range(nsub):
+                        mss[s][i], mss[s][j] = (
+                            jnp.where(swap, mss[s][j], mss[s][i]),
+                            jnp.where(swap, mss[s][i], mss[s][j]))
 
             for r in range(G):
-                @pl.when(ms[r] < maxbest[0, 0])
-                def _(r=r):
-                    mt_leaf(kk * G + ls[r])
+                leaf = kk * G + ls[r]
+                for s in range(nsub):
+                    @pl.when(mss[s][r] < maxbest[s, 0])
+                    def _(leaf=leaf, s=s):
+                        mt_leaf(leaf, s)
+
+        def maxbest_all():
+            m = maxbest[0, 0]
+            for s in range(1, nsub):
+                m = jnp.maximum(m, maxbest[s, 0])
+            return m
 
         if exact_order:
             # walk in exact ascending entry order; the first gate failure
             # ends the whole walk (every later supercluster is farther)
             def wcond(k):
                 kk = order_sm[jnp.minimum(k, K1 - 1), 0]
-                return (k < K1) & (mintent_sm[kk, 0] < maxbest[0, 0])
+                return (k < K1) & (mintent_sm[kk, 0] < maxbest_all())
 
             def wbody(k):
                 visit(order_sm[k, 0])
@@ -249,7 +275,7 @@ def _bvh_kernel(limit, shadow, G, exact_order,
             def body(k, _):
                 kk = order_ref[oidx, k]
 
-                @pl.when(mintent_sm[kk, 0] < maxbest[0, 0])
+                @pl.when(mintent_sm[kk, 0] < maxbest_all())
                 def _():
                     visit(kk)
                 return 0
@@ -265,17 +291,28 @@ def _bvh_kernel(limit, shadow, G, exact_order,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t_limit", "shadow",
                                              "ray_block", "group",
-                                             "exact_order"))
+                                             "exact_order", "subgroup"))
 def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
                        interpret=False, t_limit=None, shadow=False,
                        ray_block=DEFAULT_RAY_BLOCK, group=8,
-                       exact_order=None):
+                       exact_order=None, subgroup=None):
     """origins/dirs: (R, 3) with R a multiple of 8*ray_block.
     v0/e1/e2: (NL, C, 3) packed triangle SoA; leaf_aabb: (NL, 8);
     sc_aabb: (K1, 8) with NL = K1*group; orders: (6, K1) int32.
     t_limit: STATIC float — superclusters/leaves entirely beyond it are
     culled (hits past the limit MAY be missed; the closest hit below it
     is exact).
+    subgroup: leaf gating granularity in rays (divides ray_block; default
+    = ray_block, i.e. whole-block gating).  Each subgroup of rays gates
+    each leaf against its OWN best-hit bound, so one incoherent ray only
+    drags its subgroup — not the whole block — into a leaf's
+    Möller–Trumbore pass.  Measured on thai2 (v5e): sub-block gating
+    LOSES at every granularity (SG=64 ~+8%, SG=32 ~+33%, SG=16 ~+80% on
+    sorted bounce rays) — the dir6-sorted blocks are already coherent
+    enough that the saved MT volume is smaller than the cost of the
+    sub-lane-sliced reductions, extra scalar gates, and the ~35%
+    per-ray overhead of (SG, C) MT issues.  Kept as a knob for scenes
+    with different coherence profiles.
     Returns t (R,) f32 [, u, v (R,) f32 and idx (R,) int32 packed-slot
     index when not shadow; shadow returns only t]."""
     R = origins.shape[0]
@@ -284,6 +321,9 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
     assert NL == K1 * group
     RB = ray_block
     assert R % RB == 0
+    SG = subgroup if subgroup is not None else RB
+    assert RB % SG == 0 and SG % 8 == 0
+    nsub = RB // SG
     limit = float(t_limit) if t_limit is not None else float(BIG_T)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
     tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
@@ -313,7 +353,8 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
     # cheap relative to the block's vector work (measured default)
     if exact_order is None:
         exact_order = K1 <= 64
-    kernel = functools.partial(_bvh_kernel, limit, shadow, group, exact_order)
+    kernel = functools.partial(_bvh_kernel, limit, shadow, group, exact_order,
+                               SG)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
     # allocated but never read back)
@@ -343,7 +384,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
                         pltpu.SemaphoreType.DMA(())]
         + [pltpu.VMEM((RB, 1), jnp.float32)] * 3
         + [pltpu.VMEM((RB, 1), jnp.int32)]
-        + [pltpu.SMEM((1, 1), jnp.float32)],
+        + [pltpu.SMEM((nsub, 1), jnp.float32)],
         interpret=interpret,
     )(oidx, alive, orders, origins, dirs, sc_aabb, leaf_aabb, *planes)
     if shadow:
@@ -361,7 +402,8 @@ class BVHIntersector:
     def __init__(self, scene_buffers, triangles_per_leaf: int = 128,
                  group: int = 8, ray_block: int = DEFAULT_RAY_BLOCK,
                  use_pallas: bool | None = None,
-                 exact_order: bool | None = None):
+                 exact_order: bool | None = None,
+                 subgroup: int | None = None):
         bvh = build_bvh2(np.asarray(scene_buffers.tri_verts),
                          triangles_per_leaf=triangles_per_leaf, group=group)
         self.bvh = bvh
@@ -384,6 +426,7 @@ class BVHIntersector:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.exact_order = exact_order
+        self.subgroup = subgroup
 
     def _pad(self, origins, dirs):
         R = origins.shape[0]
@@ -413,7 +456,7 @@ class BVHIntersector:
                 origins, dirs, self.v0, self.e1, self.e2, self.leaf_aabb,
                 self.sc_aabb, self.orders, t_limit=t_limit,
                 ray_block=self.ray_block, group=self.group,
-                exact_order=self.exact_order)
+                exact_order=self.exact_order, subgroup=self.subgroup)
             t, u, v, i = t[:R], u[:R], v[:R], i[:R]
         else:
             t, u, v, i = xla_cluster_closest(
@@ -438,7 +481,7 @@ class BVHIntersector:
                 origins, dirs, self.v0, self.e1, self.e2, self.leaf_aabb,
                 self.sc_aabb, self.orders, t_limit=t_max, shadow=True,
                 ray_block=self.ray_block, group=self.group,
-                exact_order=self.exact_order)[:R]
+                exact_order=self.exact_order, subgroup=self.subgroup)[:R]
         else:
             t, _, _, _ = xla_cluster_closest(
                 origins, dirs, self.v0, self.e1, self.e2,

@@ -1,0 +1,94 @@
+"""Device-trace profile of one fused frame: per-pallas-kernel and
+per-op-kind XLA timings from a jax.profiler xplane trace.
+
+This is the ONLY reliable way to cost stages on this setup: per-call
+host timing through the axon tunnel carries 30-150 ms of dispatch noise
+per dispatch, and device-side fori_loop microbenchmarks get partially
+hoisted/overlapped by XLA.  The trace is ground truth.
+
+Usage: python scripts/trace_profile.py [spp]
+Env: BENCH_TPL (default 256), BENCH_ACCEL (bvh), RTX_SUBGROUP, RTX_RB.
+"""
+import collections
+import glob
+import os
+import re
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rtx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+TRACE_DIR = "/tmp/rtx-trace"
+
+
+def capture(spp=1):
+    import raytracer_tpu as rtx
+    tpl = int(os.environ.get("BENCH_TPL", 256))
+    accel = os.environ.get("BENCH_ACCEL", "bvh")
+    kw = {}
+    rt = rtx.create_raytracer_from_file("data/thai2.dae", width=1024,
+                                        height=1024, accel=accel,
+                                        triangles_per_leaf=tpl)
+    if os.environ.get("RTX_SUBGROUP"):
+        rt.intersector.subgroup = int(os.environ["RTX_SUBGROUP"])
+    if os.environ.get("RTX_RB"):
+        rt.intersector.ray_block = int(os.environ["RTX_RB"])
+    rt.render(1)
+    jax.block_until_ready(rt.film.pixel_sum)
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    jax.profiler.start_trace(TRACE_DIR)
+    rt.render(spp)
+    np.asarray(rt.film.pixel_sum[:64])
+    jax.profiler.stop_trace()
+
+
+def report():
+    sys.path.insert(0, "/opt/venv/lib/python3.12/site-packages/tensorflow")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    path = sorted(glob.glob(f"{TRACE_DIR}/plugins/profile/*/*.xplane.pb"))[-1]
+    p = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        p.ParseFromString(f.read())
+    for plane in p.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg = collections.Counter()
+            cnt = collections.Counter()
+            pallas = []
+            tot = 0
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                m = re.match(r"%([a-z\-_]+)[.\d]*", name)
+                kind = m.group(1) if m else name[:20]
+                if kind == "while":
+                    continue  # the whole frame loop; children re-counted
+                agg[kind] += ev.duration_ps
+                cnt[kind] += 1
+                tot += ev.duration_ps
+                if kind == "pallas_bvh_closest":
+                    shp = re.search(r"f32\[(\d+),(\d+)\]", name)
+                    pallas.append((ev.duration_ps / 1e9,
+                                   shp.group(0) if shp else "?"))
+            print("== per pallas kernel (call order: L0c L0s L1c L1s L2c L2s"
+                  " per spp iter) ==")
+            for ms, shp in pallas:
+                print(f"  {ms:8.2f} ms  {shp}")
+            print("== serialized XLA op-kind totals ==")
+            for kind, ps in agg.most_common(18):
+                print(f"{ps/1e9:9.2f} ms  x{cnt[kind]:5d}  {kind}")
+            print(f"   TOTAL {tot/1e9:.1f} ms")
+
+
+if __name__ == "__main__":
+    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    capture(spp)
+    report()
