@@ -28,6 +28,9 @@ SPP = int(os.environ.get("BENCH_SPP", 4))
 SCENE = os.environ.get("BENCH_SCENE", "data/thai2.dae")
 ACCEL = os.environ.get("BENCH_ACCEL", "bvh")
 TPL = int(os.environ.get("BENCH_TPL", 256))
+ACCEL_OPTS = {k: int(os.environ[e]) for k, e in
+              (("seg", "BENCH_SEG"), ("group", "BENCH_GROUP"))
+              if os.environ.get(e)} if ACCEL == "bvh" else {}
 TARGET_MRAYS = 100.0
 
 
@@ -40,7 +43,8 @@ def main():
     import raytracer_tpu as rtx
 
     rt = rtx.create_raytracer_from_file(SCENE, width=W, height=H,
-                                        accel=ACCEL, triangles_per_leaf=TPL)
+                                        accel=ACCEL, triangles_per_leaf=TPL,
+                                        accel_opts=ACCEL_OPTS)
     # warmup: compile the whole-frame step (retry once — the remote
     # compile tunnel occasionally drops a response mid-read)
     for attempt in (0, 1):

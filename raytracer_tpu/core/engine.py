@@ -48,8 +48,8 @@ class RayTracer:
                  recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
                  rows_per_frame: int = 50,
                  compat_v_bug: bool = False,
-                 bounce_t_hint_frac: float | None = None,
                  sort_key_mode: str = "dir6",
+                 accel_opts: dict | None = None,
                  seed: int = 0):
         self.width = width
         self.height = height
@@ -67,16 +67,8 @@ class RayTracer:
         self.compat_v_bug = compat_v_bug
         self.sort_key_mode = sort_key_mode
         self.intersector = intersector or make_intersector(
-            accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf)
-        # static t-hint for two-pass bounce closest-hit: a fraction of the
-        # scene diagonal (bounce rays usually hit nearby geometry); only
-        # pays off for intersectors that cull on t_limit (the Pallas ones)
-        self.bounce_t_hint = None
-        if (bounce_t_hint_frac and len(self.scene_buffers.tri_verts)
-                and hasattr(self.intersector, "world_lo")):
-            v = np.asarray(self.scene_buffers.tri_verts).reshape(-1, 3)
-            diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
-            self.bounce_t_hint = bounce_t_hint_frac * diag
+            accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf,
+            **(accel_opts or {}))
         self._key = jax.random.PRNGKey(seed)
         self._row_block_cache = {}
         self._sharded_render = None
@@ -111,7 +103,6 @@ class RayTracer:
         W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
         records, has_tex = self._shade_fast_args()
-        hint = self.bounce_t_hint
 
         def step(scene, cam, px, py, key):
             kj, kt = jax.random.split(key)
@@ -120,7 +111,6 @@ class RayTracer:
             return trace_radiance(scene, origins, dirs, kt, isect,
                                   rec, spread, shade_records=records,
                                   has_textures=has_tex,
-                                  bounce_t_hint=hint,
                                   sort_key_mode=self.sort_key_mode)
 
         return jax.jit(step)
@@ -198,7 +188,6 @@ class RayTracer:
         isect = self.intersector
         W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
-        hint = self.bounce_t_hint
         TW, TH = self.TILE_W, self.TILE_H
         Wp, Hp = -(-W // TW) * TW, -(-H // TH) * TH
 
@@ -225,7 +214,6 @@ class RayTracer:
             rad = trace_radiance(scene, origins, dirs, kt, isect,
                                  rec, spread, shade_records=records,
                                  has_textures=has_tex,
-                                 bounce_t_hint=hint,
                                  sort_key_mode=self.sort_key_mode)
             img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))

@@ -47,13 +47,19 @@ class BruteForceIntersector:
     # is fine because engines build them once.
 
 
-def make_intersector(kind: str, scene_buffers=None, triangles_per_leaf: int = 70):
+def make_intersector(kind: str, scene_buffers=None, triangles_per_leaf: int = 70,
+                     **opts):
+    """`opts` are forwarded to the accel constructor (e.g. the BVH's
+    `seg`/`group`/`ray_block`/`exact_order`)."""
     if kind == "brute":
-        return BruteForceIntersector()
+        return BruteForceIntersector(**opts)
     if kind == "cluster":
         from raytracer_tpu.ops.pallas_intersect import ClusterIntersector
-        return ClusterIntersector(scene_buffers, triangles_per_leaf=triangles_per_leaf)
+        return ClusterIntersector(scene_buffers,
+                                  triangles_per_leaf=triangles_per_leaf,
+                                  **opts)
     if kind == "bvh":
         from raytracer_tpu.ops.pallas_bvh import BVHIntersector
-        return BVHIntersector(scene_buffers, triangles_per_leaf=triangles_per_leaf)
+        return BVHIntersector(scene_buffers,
+                              triangles_per_leaf=triangles_per_leaf, **opts)
     raise ValueError(f"unknown intersector kind: {kind!r}")

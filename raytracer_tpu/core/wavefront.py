@@ -128,27 +128,6 @@ def _sort_rays(skey, o, d, alive, orig, extra):
             list(extra_s))
 
 
-def _closest_hinted(isect, scene, o, d, alive, hint):
-    """Two-pass closest-hit for bounce rays: pass 1 searches only within
-    a static t-hint (every block's culling threshold starts at the hint,
-    so far superclusters are skipped before any hit is found — most
-    bounce rays hit nearby geometry); pass 2 re-queries only the rays
-    that found nothing within the hint.  Misses cluster spatially, and
-    rays are already sorted, so pass 2's blocks are mostly dead and
-    skipped outright.  Exact: a pass-1 hit below the hint is the true
-    closest; everything else gets the unlimited pass."""
-    if hint is None:
-        return isect.query(scene, o, d, alive=alive)
-    h1 = isect.query(scene, o, d, alive=alive, t_limit=hint)
-    # a pass-1 hit is the true closest only below the hint: a farther
-    # hit can come from a visited cluster while a nearer cluster beyond
-    # the hint was culled
-    valid1 = h1["hit"] & (h1["t"] <= hint)
-    take2 = alive & ~valid1
-    h2 = isect.query(scene, o, d, alive=take2)
-    return {k: jnp.where(take2, h2[k], h1[k]) for k in h1}
-
-
 def _unsort_radiance(rad, orig):
     """Fold sorted per-ray radiance back to original order: sort by the
     original index (a permutation), radiance riding as payload."""
@@ -160,7 +139,7 @@ def _unsort_radiance(rad, orig):
 def trace_radiance(scene, origins, dirs, key, isect,
                    recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
                    sort_rays: bool = True, shade_records=None,
-                   has_textures: bool = True, bounce_t_hint=None,
+                   has_textures: bool = True,
                    sort_key_mode: str = "dir6"):
     """Radiance for R primary rays, bounce tree unrolled.
 
@@ -276,8 +255,7 @@ def trace_radiance(scene, origins, dirs, key, isect,
             else:
                 pending_g = None
 
-            hit = _closest_hinted(isect, scene, child_o, child_d,
-                                  child_alive, bounce_t_hint)
+            hit = isect.query(scene, child_o, child_d, alive=child_alive)
             cur_o, cur_d, parent_alive = child_o, child_d, child_alive
             weight = weight / b                          # mean over children
             fan = fan * b

@@ -1,4 +1,4 @@
-"""Two-level BVH intersection: Pallas TPU kernel + XLA fallback.
+"""Packed two-level BVH intersection: Pallas TPU kernel + XLA fallback.
 
 Successor of the flat cluster kernel (ops/pallas_intersect.py) and the
 TPU-native replacement of the reference octree traversal (reference:
@@ -7,18 +7,34 @@ raytracer_lib/src/raytracer/accel_intersect/oct_tree_intersector.rs:
 
 1. slab-test every SUPERCLUSTER AABB against all rays at once ->
    per-(supercluster, ray) entry distances; min over the block to SMEM;
-2. walk superclusters in approximate front-to-back order (per-block
+2. walk superclusters in front-to-back order — exact per-block (scalar
+   insertion sort of the SMEM entries) or approximate (per-block
    dominant direction picks one of six precomputed centroid orders);
 3. a scalar gate (supercluster's closest possible entry vs the block's
    worst best-hit and the caller's t-limit) skips most superclusters;
-4. surviving superclusters slab-test their G leaf AABBs (one (G, RB)
-   vector op), and each leaf is gated by an IN-REGISTER vector->scalar
-   reduction — no DMA round-trip — before its Möller–Trumbore pass over
-   (ray, triangle) pairs on the VPU.
+4. surviving superclusters slab-test the G*S SEGMENT AABBs of their G
+   triangle rows in one (G*S, RB) vector op.  Each row is gated by the
+   min over its S segment entries (= the entry into the row's AABB
+   *union*, strictly tighter than one fat row box) via IN-REGISTER
+   vector->scalar reductions — no DMA round-trip — and a scalar sorting
+   network orders the rows front-to-back so early hits tighten the
+   bound for the rest.  Rows that survive run one full-width
+   Möller–Trumbore pass over (ray, lane) pairs on the VPU.
 
-The second culling level is what round 1 lacked: it cuts triangle tests
-per ray by roughly the supercluster/leaf size ratio, and the finer
-early-t updates tighten the front-to-back walk.
+Rows are PACKED FULL by the builder (ops/bvh.py): every MT lane is a
+real triangle (a naive median-split leaves ~39% of lanes as padding on
+thai2), and segments are tight 16-32-triangle chunks, so the gates model
+the geometry at fine granularity while MT issues stay full-width (narrow
+(SG, C) issues measured ~+35%/ray in round 3's subgroup experiment —
+that knob is gone, this design replaces it).
+
+The slab phases guard against zero direction components (the reference
+unit-tests axis-parallel rays, oct_tree_intersector.rs:485-492): an
+unguarded 1/d with d == 0 and origin exactly on a box plane yields
+0 * inf = NaN, which compares false and silently culls.  Directions are
+clamped to +-1e-30 minimum magnitude before inversion, which keeps every
+slab product finite (sign loss is irrelevant: the entry/exit tests take
+min/max over both plane distances).
 
 `mode="shadow"` skips the u/v/triangle-index bookkeeping (occlusion only
 needs the windowed min-t, mod.rs:224-230) for a leaner epilogue.
@@ -41,14 +57,38 @@ from raytracer_tpu.ops.pallas_intersect import (
 
 DEFAULT_RAY_BLOCK = 128
 
+# Minimum direction-component magnitude before inversion (zero-direction
+# slab guard; see module docstring).
+_DIR_TINY = 1e-30
 
-def _bvh_kernel(limit, shadow, G, exact_order, SG,
+# Front-to-back row ordering networks (compare-swap index pairs).
+# G=8: Batcher odd-even merge (19 comparators); G=4: 5; G=2: 1.
+_SORT_NET = {
+    8: ((0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)),
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    2: ((0, 1),),
+    1: (),
+}
+
+
+def _safe_inv(x):
+    """1/x with |x| clamped away from zero so slab products stay finite
+    (0 * inf = NaN would compare false -> silent miss)."""
+    return 1.0 / jnp.where(jnp.abs(x) < _DIR_TINY, _DIR_TINY, x)
+
+
+def _bvh_kernel(limit, shadow, G, S, exact_order,
                 oidx_ref,                     # SMEM (1, nb) int32
                 alive_ref,                    # SMEM (1, nb) int32
                 order_ref,                    # SMEM (6, K1) int32
                 o_ref, d_ref,                 # VMEM (RB, 3)
                 sc_aabb_ref,                  # VMEM (K1, 8)
-                leaf_aabb_ref,                # VMEM (NL, 8)
+                seg_aabb_ref,                 # VMEM (NL*S, 8)
                 v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,  # VMEM (NL, C)
                 t_out, u_out, v_out, i_out,   # VMEM (8, RB) blocks
                 tent,                         # scratch (K1, RB) f32
@@ -57,11 +97,10 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
                 order_sm,                     # scratch SMEM (K1, 1) int32
                 sem,                          # DMA semaphore
                 bt, bu, bv, bi,               # scratch (RB, 1)
-                maxbest):                     # scratch SMEM (nsub, 1) f32
+                maxbest):                     # scratch SMEM (1, 1) f32
     K1 = sc_aabb_ref.shape[0]
     C = v0x.shape[1]
     RB = o_ref.shape[0]
-    nsub = RB // SG
     row = pl.program_id(1)
 
     o = o_ref[:]
@@ -74,7 +113,7 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
                      o[:, 2].reshape(1, RB))
     dxr, dyr, dzr = (d[:, 0].reshape(1, RB), d[:, 1].reshape(1, RB),
                      d[:, 2].reshape(1, RB))
-    idxr, idyr, idzr = 1.0 / dxr, 1.0 / dyr, 1.0 / dzr
+    idxr, idyr, idzr = _safe_inv(dxr), _safe_inv(dyr), _safe_inv(dzr)
 
     bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
     if not shadow:
@@ -86,13 +125,12 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
     # the block's culling threshold at BIG_T
     alive_row = jnp.abs(ox) < _ALIVE_LIMIT               # (RB, 1) bool
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SG, C), dimension=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RB, C), dimension=1)
 
     blk = pl.program_id(0) * 8 + row
     oidx = oidx_ref[0, blk]
 
-    for s in range(nsub):
-        maxbest[s, 0] = jnp.float32(min(BIG_T, limit))
+    maxbest[0, 0] = jnp.float32(min(BIG_T, limit))
 
     @pl.when(alive_ref[0, blk] != 0)
     def _():
@@ -145,11 +183,9 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
                 return 0
             jax.lax.fori_loop(1, K1, ins, 0)
 
-        def mt_leaf(leaf, s):
-            """Möller–Trumbore of sub-group `s` (rows [s*SG, (s+1)*SG))
-            against leaf `leaf`.  `s` is a compile-time index, `leaf` a
-            traced one."""
-            sl = slice(s * SG, (s + 1) * SG)
+        def mt_row(leaf):
+            """Möller–Trumbore of the whole block against packed row
+            `leaf` (a traced index)."""
             av0x = v0x[pl.ds(leaf, 1), :]                # (1, C)
             av0y = v0y[pl.ds(leaf, 1), :]
             av0z = v0z[pl.ds(leaf, 1), :]
@@ -160,28 +196,26 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
             ae2y = e2y[pl.ds(leaf, 1), :]
             ae2z = e2z[pl.ds(leaf, 1), :]
 
-            # (SG,1) ray x (1,C) triangle -> (SG,C)
-            sdx, sdy, sdz = dx[sl], dy[sl], dz[sl]
-            sox, soy, soz = ox[sl], oy[sl], oz[sl]
-            px = sdy * ae2z - sdz * ae2y
-            py = sdz * ae2x - sdx * ae2z
-            pz = sdx * ae2y - sdy * ae2x
+            # (RB,1) ray x (1,C) triangle -> (RB,C)
+            px = dy * ae2z - dz * ae2y
+            py = dz * ae2x - dx * ae2z
+            pz = dx * ae2y - dy * ae2x
             det = ae1x * px + ae1y * py + ae1z * pz
             non_par = jnp.abs(det) >= F32_EPSILON
             inv_det = 1.0 / jnp.where(non_par, det, 1.0)
-            tvx, tvy, tvz = sox - av0x, soy - av0y, soz - av0z
+            tvx, tvy, tvz = ox - av0x, oy - av0y, oz - av0z
             uu = (tvx * px + tvy * py + tvz * pz) * inv_det
             qx = tvy * ae1z - tvz * ae1y
             qy = tvz * ae1x - tvx * ae1z
             qz = tvx * ae1y - tvy * ae1x
-            vv = (sdx * qx + sdy * qy + sdz * qz) * inv_det
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
             tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
             ok = (non_par & (uu >= 0.0) & (uu <= 1.0)
                   & (vv >= 0.0) & (uu + vv <= 1.0) & (tt >= 0.0))
             tt = jnp.where(ok, tt, BIG_T)
 
-            tmin_row = jnp.min(tt, axis=1, keepdims=True)      # (SG, 1)
-            better = tmin_row < bt[sl]
+            tmin_row = jnp.min(tt, axis=1, keepdims=True)      # (RB, 1)
+            better = tmin_row < bt[:]
             if not shadow:
                 jhot = (tt == tmin_row) & (tmin_row < BIG_T)
                 jfirst = jnp.min(jnp.where(jhot, lane, C), axis=1,
@@ -189,22 +223,22 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
                 sel = lane == jfirst
                 uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1, keepdims=True)
                 vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1, keepdims=True)
-                bu[sl] = jnp.where(better, uj, bu[sl])
-                bv[sl] = jnp.where(better, vj, bv[sl])
-                bi[sl] = jnp.where(better, leaf * C + jfirst, bi[sl])
-            bt[sl] = jnp.where(better, tmin_row, bt[sl])
-            maxbest[s, 0] = jnp.minimum(
-                jnp.max(jnp.where(alive_row[sl], bt[sl], 0.0)),
+                bu[:] = jnp.where(better, uj, bu[:])
+                bv[:] = jnp.where(better, vj, bv[:])
+                bi[:] = jnp.where(better, leaf * C + jfirst, bi[:])
+            bt[:] = jnp.where(better, tmin_row, bt[:])
+            maxbest[0, 0] = jnp.minimum(
+                jnp.max(jnp.where(alive_row, bt[:], 0.0)),
                 jnp.float32(limit))
 
         def visit(kk):
-            # --- leaf-level slab test: one (G, RB) vector op ---
-            lb = leaf_aabb_ref[pl.ds(kk * G, G), :]        # (G, 8)
-            lminx, lminy, lminz = lb[:, 0:1], lb[:, 1:2], lb[:, 2:3]
-            lmaxx, lmaxy, lmaxz = lb[:, 3:4], lb[:, 4:5], lb[:, 5:6]
-            sx1, sx2 = (lminx - oxr) * idxr, (lmaxx - oxr) * idxr
-            sy1, sy2 = (lminy - oyr) * idyr, (lmaxy - oyr) * idyr
-            sz1, sz2 = (lminz - ozr) * idzr, (lmaxz - ozr) * idzr
+            # --- segment-level slab test: one (G*S, RB) vector op ---
+            sb = seg_aabb_ref[pl.ds(kk * (G * S), G * S), :]   # (G*S, 8)
+            sminx, sminy, sminz = sb[:, 0:1], sb[:, 1:2], sb[:, 2:3]
+            smaxx, smaxy, smaxz = sb[:, 3:4], sb[:, 4:5], sb[:, 5:6]
+            sx1, sx2 = (sminx - oxr) * idxr, (smaxx - oxr) * idxr
+            sy1, sy2 = (sminy - oyr) * idyr, (smaxy - oyr) * idyr
+            sz1, sz2 = (sminz - ozr) * idzr, (smaxz - ozr) * idzr
             smin = jnp.maximum(jnp.maximum(jnp.minimum(sx1, sx2),
                                            jnp.minimum(sy1, sy2)),
                                jnp.minimum(sz1, sz2))
@@ -212,59 +246,40 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
                                            jnp.maximum(sy1, sy2)),
                                jnp.maximum(sz1, sz2))
             tent2 = jnp.where((smax >= smin) & (smax > 0.0),
-                              smin, BIG_T)                 # (G, RB)
+                              smin, BIG_T)                 # (G*S, RB)
 
-            # per-(leaf, sub-group) entry minima: nsub (G, SG) -> (G, 1)
-            # reductions + scalar extracts.  The per-leaf block min (for
-            # the front-to-back ordering) is the min over the sub-groups.
-            msub = [jnp.min(tent2[:, slice(s * SG, (s + 1) * SG)],
-                            axis=1, keepdims=True)         # (G, 1)
-                    for s in range(nsub)]
-            mss = [[m[l, 0] for l in range(G)] for m in msub]  # [nsub][G]
-            ms = list(mss[0])
-            for s in range(1, nsub):
-                ms = [jnp.minimum(a, b) for a, b in zip(ms, mss[s])]
+            # per-segment block-entry minima -> scalars; per-row key =
+            # min over the row's S segments (= entry into the union of
+            # its segment boxes, tighter than one fat row AABB)
+            mseg = jnp.min(tent2, axis=1, keepdims=True)   # (G*S, 1)
+            msc = [mseg[j, 0] for j in range(G * S)]
+            ms = []
+            for l in range(G):
+                m = msc[l * S]
+                for s in range(1, S):
+                    m = jnp.minimum(m, msc[l * S + s])
+                ms.append(m)
             ls = [jnp.int32(l) for l in range(G)]
-            if G == 8:
-                # front-to-back leaf order: Batcher odd-even sorting
-                # network (19 scalar compare-swaps) so the earliest
-                # leaves tighten maxbest before the rest are gated; the
-                # per-sub-group minima ride the network as payloads
-                for (i, j) in ((0, 1), (2, 3), (4, 5), (6, 7),
-                               (0, 2), (1, 3), (4, 6), (5, 7),
-                               (1, 2), (5, 6),
-                               (0, 4), (1, 5), (2, 6), (3, 7),
-                               (2, 4), (3, 5),
-                               (1, 2), (3, 4), (5, 6)):
-                    swap = ms[i] > ms[j]
-                    ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
-                                    jnp.where(swap, ms[i], ms[j]))
-                    ls[i], ls[j] = (jnp.where(swap, ls[j], ls[i]),
-                                    jnp.where(swap, ls[i], ls[j]))
-                    for s in range(nsub):
-                        mss[s][i], mss[s][j] = (
-                            jnp.where(swap, mss[s][j], mss[s][i]),
-                            jnp.where(swap, mss[s][i], mss[s][j]))
+            # front-to-back row order so the earliest rows tighten
+            # maxbest before the rest are gated
+            for (i, j) in _SORT_NET.get(G, ()):
+                swap = ms[i] > ms[j]
+                ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
+                                jnp.where(swap, ms[i], ms[j]))
+                ls[i], ls[j] = (jnp.where(swap, ls[j], ls[i]),
+                                jnp.where(swap, ls[i], ls[j]))
 
             for r in range(G):
-                leaf = kk * G + ls[r]
-                for s in range(nsub):
-                    @pl.when(mss[s][r] < maxbest[s, 0])
-                    def _(leaf=leaf, s=s):
-                        mt_leaf(leaf, s)
-
-        def maxbest_all():
-            m = maxbest[0, 0]
-            for s in range(1, nsub):
-                m = jnp.maximum(m, maxbest[s, 0])
-            return m
+                @pl.when(ms[r] < maxbest[0, 0])
+                def _(r=r):
+                    mt_row(kk * G + ls[r])
 
         if exact_order:
             # walk in exact ascending entry order; the first gate failure
             # ends the whole walk (every later supercluster is farther)
             def wcond(k):
                 kk = order_sm[jnp.minimum(k, K1 - 1), 0]
-                return (k < K1) & (mintent_sm[kk, 0] < maxbest_all())
+                return (k < K1) & (mintent_sm[kk, 0] < maxbest[0, 0])
 
             def wbody(k):
                 visit(order_sm[k, 0])
@@ -275,7 +290,7 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
             def body(k, _):
                 kk = order_ref[oidx, k]
 
-                @pl.when(mintent_sm[kk, 0] < maxbest_all())
+                @pl.when(mintent_sm[kk, 0] < maxbest[0, 0])
                 def _():
                     visit(kk)
                 return 0
@@ -291,39 +306,28 @@ def _bvh_kernel(limit, shadow, G, exact_order, SG,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t_limit", "shadow",
                                              "ray_block", "group",
-                                             "exact_order", "subgroup"))
-def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
+                                             "exact_order"))
+def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
                        interpret=False, t_limit=None, shadow=False,
                        ray_block=DEFAULT_RAY_BLOCK, group=8,
-                       exact_order=None, subgroup=None):
+                       exact_order=None):
     """origins/dirs: (R, 3) with R a multiple of 8*ray_block.
-    v0/e1/e2: (NL, C, 3) packed triangle SoA; leaf_aabb: (NL, 8);
-    sc_aabb: (K1, 8) with NL = K1*group; orders: (6, K1) int32.
-    t_limit: STATIC float — superclusters/leaves entirely beyond it are
-    culled (hits past the limit MAY be missed; the closest hit below it
-    is exact).
-    subgroup: leaf gating granularity in rays (divides ray_block; default
-    = ray_block, i.e. whole-block gating).  Each subgroup of rays gates
-    each leaf against its OWN best-hit bound, so one incoherent ray only
-    drags its subgroup — not the whole block — into a leaf's
-    Möller–Trumbore pass.  Measured on thai2 (v5e): sub-block gating
-    LOSES at every granularity (SG=64 ~+8%, SG=32 ~+33%, SG=16 ~+80% on
-    sorted bounce rays) — the dir6-sorted blocks are already coherent
-    enough that the saved MT volume is smaller than the cost of the
-    sub-lane-sliced reductions, extra scalar gates, and the ~35%
-    per-ray overhead of (SG, C) MT issues.  Kept as a knob for scenes
-    with different coherence profiles.
+    v0/e1/e2: (NL, C, 3) packed triangle SoA; seg_aabb: (NL*S, 8) with
+    S segments per row; sc_aabb: (K1, 8) with NL = K1*group;
+    orders: (6, K1) int32.
+    t_limit: STATIC float — superclusters/segments entirely beyond it
+    are culled (hits past the limit MAY be missed; the closest hit below
+    it is exact).
     Returns t (R,) f32 [, u, v (R,) f32 and idx (R,) int32 packed-slot
     index when not shadow; shadow returns only t]."""
     R = origins.shape[0]
     NL, C, _ = v0.shape
     K1 = sc_aabb.shape[0]
     assert NL == K1 * group
+    assert seg_aabb.shape[0] % NL == 0
+    S = seg_aabb.shape[0] // NL
     RB = ray_block
     assert R % RB == 0
-    SG = subgroup if subgroup is not None else RB
-    assert RB % SG == 0 and SG % 8 == 0
-    nsub = RB // SG
     limit = float(t_limit) if t_limit is not None else float(BIG_T)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
     tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
@@ -353,8 +357,8 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
     # cheap relative to the block's vector work (measured default)
     if exact_order is None:
         exact_order = K1 <= 64
-    kernel = functools.partial(_bvh_kernel, limit, shadow, group, exact_order,
-                               SG)
+    kernel = functools.partial(_bvh_kernel, limit, shadow, group, S,
+                               exact_order)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
     # allocated but never read back)
@@ -373,7 +377,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
                   ray_spec, ray_spec,
                   pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((NL, 8), lambda i, j: (0, 0),
+                  pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)] + [tri_spec] * 9,
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=out_shapes,
@@ -384,9 +388,9 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
                         pltpu.SemaphoreType.DMA(())]
         + [pltpu.VMEM((RB, 1), jnp.float32)] * 3
         + [pltpu.VMEM((RB, 1), jnp.int32)]
-        + [pltpu.SMEM((nsub, 1), jnp.float32)],
+        + [pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
-    )(oidx, alive, orders, origins, dirs, sc_aabb, leaf_aabb, *planes)
+    )(oidx, alive, orders, origins, dirs, sc_aabb, seg_aabb, *planes)
     if shadow:
         return t.reshape(R)
     return t.reshape(R), u.reshape(R), v.reshape(R), i.reshape(R)
@@ -395,25 +399,29 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, leaf_aabb, sc_aabb, orders,
 class BVHIntersector:
     """Production accel structure (see module docstring).  The
     `triangles_per_leaf` knob is the reference's octree leaf size
-    (lib.rs:15-27), here the leaf capacity rounded to a lane multiple."""
+    (lib.rs:15-27), here the packed row width rounded to a lane
+    multiple."""
 
     name = "bvh"
 
     def __init__(self, scene_buffers, triangles_per_leaf: int = 128,
-                 group: int = 8, ray_block: int = DEFAULT_RAY_BLOCK,
+                 group: int = 8, seg: int = 4,
+                 ray_block: int = DEFAULT_RAY_BLOCK,
                  use_pallas: bool | None = None,
-                 exact_order: bool | None = None,
-                 subgroup: int | None = None):
+                 exact_order: bool | None = None):
         bvh = build_bvh2(np.asarray(scene_buffers.tri_verts),
-                         triangles_per_leaf=triangles_per_leaf, group=group)
+                         triangles_per_leaf=triangles_per_leaf, group=group,
+                         seg=seg)
         self.bvh = bvh
         self.group = group
+        self.seg = bvh.seg
         self.ray_block = ray_block
         self.leaf_capacity = bvh.leaf_size
         self.v0 = jnp.asarray(bvh.v0)
         self.e1 = jnp.asarray(bvh.e1)
         self.e2 = jnp.asarray(bvh.e2)
         self.leaf_aabb = jnp.asarray(bvh.leaf_aabb)
+        self.seg_aabb = jnp.asarray(bvh.seg_aabb)
         self.sc_aabb = jnp.asarray(bvh.sc_aabb)
         self.orders = jnp.asarray(bvh.orders)
         self.perm = jnp.asarray(np.maximum(bvh.perm, 0))
@@ -426,7 +434,6 @@ class BVHIntersector:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.exact_order = exact_order
-        self.subgroup = subgroup
 
     def _pad(self, origins, dirs):
         R = origins.shape[0]
@@ -453,10 +460,10 @@ class BVHIntersector:
         if self.use_pallas:
             origins, dirs, R = self._pad(origins, dirs)
             t, u, v, i = pallas_bvh_closest(
-                origins, dirs, self.v0, self.e1, self.e2, self.leaf_aabb,
+                origins, dirs, self.v0, self.e1, self.e2, self.seg_aabb,
                 self.sc_aabb, self.orders, t_limit=t_limit,
                 ray_block=self.ray_block, group=self.group,
-                exact_order=self.exact_order, subgroup=self.subgroup)
+                exact_order=self.exact_order)
             t, u, v, i = t[:R], u[:R], v[:R], i[:R]
         else:
             t, u, v, i = xla_cluster_closest(
@@ -478,10 +485,10 @@ class BVHIntersector:
         if self.use_pallas:
             origins, dirs, R = self._pad(origins, dirs)
             t = pallas_bvh_closest(
-                origins, dirs, self.v0, self.e1, self.e2, self.leaf_aabb,
+                origins, dirs, self.v0, self.e1, self.e2, self.seg_aabb,
                 self.sc_aabb, self.orders, t_limit=t_max, shadow=True,
                 ray_block=self.ray_block, group=self.group,
-                exact_order=self.exact_order, subgroup=self.subgroup)[:R]
+                exact_order=self.exact_order)[:R]
         else:
             t, _, _, _ = xla_cluster_closest(
                 origins, dirs, self.v0, self.e1, self.e2,

@@ -192,10 +192,11 @@ def counted_walk(origins, dirs, isect):
     from raytracer_tpu.ops.pallas_bvh import _ALIVE_LIMIT
 
     v0, e1, e2 = isect.v0, isect.e1, isect.e2
-    leaf_aabb, sc_aabb, orders = isect.leaf_aabb, isect.sc_aabb, isect.orders
+    seg_aabb, sc_aabb, orders = isect.seg_aabb, isect.sc_aabb, isect.orders
     NL, C, _ = v0.shape
     K1 = sc_aabb.shape[0]
     G = isect.group
+    S = seg_aabb.shape[0] // NL
     R = origins.shape[0]
     pad = (-R) % (8 * RB)
     if pad:
@@ -216,7 +217,7 @@ def counted_walk(origins, dirs, isect):
     alive_i = alive.astype(jnp.int32)[None, :]
 
     def kernel(oidx_ref, alive_ref, order_ref, o_ref, d_ref, sc_aabb_ref,
-               leaf_aabb_ref, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+               seg_aabb_ref, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                cnt_out, tent, mintent, mintent_sm, order_sm, sem,
                bt, maxbest, nv_sm, nm_sm):
         row = pl.program_id(1)
@@ -227,7 +228,8 @@ def counted_walk(origins, dirs, isect):
                          o[:, 2].reshape(1, RB))
         dxr, dyr, dzr = (d[:, 0].reshape(1, RB), d[:, 1].reshape(1, RB),
                          d[:, 2].reshape(1, RB))
-        idxr, idyr, idzr = 1.0 / dxr, 1.0 / dyr, 1.0 / dzr
+        from raytracer_tpu.ops.pallas_bvh import _safe_inv
+        idxr, idyr, idzr = _safe_inv(dxr), _safe_inv(dyr), _safe_inv(dzr)
         dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
         oy, oz = o[:, 1:2], o[:, 2:3]
         bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
@@ -315,7 +317,7 @@ def counted_walk(origins, dirs, isect):
 
             def visit(kk):
                 nv_sm[0, 0] = nv_sm[0, 0] + 1
-                lb = leaf_aabb_ref[pl.ds(kk * G, G), :]
+                lb = seg_aabb_ref[pl.ds(kk * (G * S), G * S), :]
                 lminx, lminy, lminz = lb[:, 0:1], lb[:, 1:2], lb[:, 2:3]
                 lmaxx, lmaxy, lmaxz = lb[:, 3:4], lb[:, 4:5], lb[:, 5:6]
                 sx1, sx2 = (lminx - oxr) * idxr, (lmaxx - oxr) * idxr
@@ -328,9 +330,12 @@ def counted_walk(origins, dirs, isect):
                                                jnp.maximum(sy1, sy2)),
                                    jnp.maximum(sz1, sz2))
                 tent2 = jnp.where((smax >= smin) & (smax > 0.0), smin, BIG_T)
-                m8 = jnp.min(tent2, axis=1, keepdims=True)
+                mseg = jnp.min(tent2, axis=1, keepdims=True)
                 for l in range(G):
-                    @pl.when(m8[l, 0] < maxbest[0, 0])
+                    m = mseg[l * S, 0]
+                    for sgi in range(1, S):
+                        m = jnp.minimum(m, mseg[l * S + sgi, 0])
+                    @pl.when(m < maxbest[0, 0])
                     def _(l=l):
                         mt_leaf(kk * G + l)
 
@@ -365,7 +370,7 @@ def counted_walk(origins, dirs, isect):
                   ray_spec, ray_spec,
                   pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((NL, 8), lambda i, j: (0, 0),
+                  pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)] + [tri_spec] * 9,
         out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -379,7 +384,7 @@ def counted_walk(origins, dirs, isect):
                         pltpu.SMEM((1, 1), jnp.float32),
                         pltpu.SMEM((1, 1), jnp.int32),
                         pltpu.SMEM((1, 1), jnp.int32)],
-    )(oidx, alive_i, orders, origins, dirs, sc_aabb, leaf_aabb, *planes)
+    )(oidx, alive_i, orders, origins, dirs, sc_aabb, seg_aabb, *planes)
     cnt = np.asarray(cnt)
     return cnt[:, 0], cnt[:, 1], int(np.asarray(alive).sum())
 

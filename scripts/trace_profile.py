@@ -7,7 +7,7 @@ per dispatch, and device-side fori_loop microbenchmarks get partially
 hoisted/overlapped by XLA.  The trace is ground truth.
 
 Usage: python scripts/trace_profile.py [spp]
-Env: BENCH_TPL (default 256), BENCH_ACCEL (bvh), RTX_SUBGROUP, RTX_RB.
+Env: BENCH_TPL (default 256), BENCH_ACCEL (bvh), RTX_SEG, RTX_RB.
 """
 import collections
 import glob
@@ -31,12 +31,13 @@ def capture(spp=1):
     import raytracer_tpu as rtx
     tpl = int(os.environ.get("BENCH_TPL", 256))
     accel = os.environ.get("BENCH_ACCEL", "bvh")
-    kw = {}
+    opts = {k: int(os.environ[e]) for k, e in
+            (("seg", "RTX_SEG"), ("group", "RTX_GROUP"))
+            if os.environ.get(e)} if accel == "bvh" else {}
     rt = rtx.create_raytracer_from_file("data/thai2.dae", width=1024,
                                         height=1024, accel=accel,
-                                        triangles_per_leaf=tpl)
-    if os.environ.get("RTX_SUBGROUP"):
-        rt.intersector.subgroup = int(os.environ["RTX_SUBGROUP"])
+                                        triangles_per_leaf=tpl,
+                                        accel_opts=opts)
     if os.environ.get("RTX_RB"):
         rt.intersector.ray_block = int(os.environ["RTX_RB"])
     rt.render(1)
@@ -49,8 +50,15 @@ def capture(spp=1):
 
 
 def report():
-    sys.path.insert(0, "/opt/venv/lib/python3.12/site-packages/tensorflow")
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        # some installs only expose the proto inside the tensorflow
+        # package directory itself
+        import sysconfig
+        sys.path.insert(0, os.path.join(
+            sysconfig.get_paths()["purelib"], "tensorflow"))
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     path = sorted(glob.glob(f"{TRACE_DIR}/plugins/profile/*/*.xplane.pb"))[-1]
     p = xplane_pb2.XSpace()
     with open(path, "rb") as f:

@@ -39,7 +39,7 @@ def random_rays(r=1024, seed=4):
 def build(tris, tpl=128, group=8):
     bvh = build_bvh2(tris, triangles_per_leaf=tpl, group=group)
     args = (jnp.asarray(bvh.v0), jnp.asarray(bvh.e1), jnp.asarray(bvh.e2),
-            jnp.asarray(bvh.leaf_aabb), jnp.asarray(bvh.sc_aabb),
+            jnp.asarray(bvh.seg_aabb), jnp.asarray(bvh.sc_aabb),
             jnp.asarray(bvh.orders))
     return bvh, args
 
@@ -145,6 +145,51 @@ def test_bvh_dead_blocks_skipped():
     live[1024:] = False
     live[100:200] = False
     assert_matches_brute(tris, bvh, t, u, v, i, o, d, mask=live)
+
+
+def test_bvh_axis_parallel_rays_zero_direction():
+    """The reference unit-tests slab behavior for axis-parallel rays
+    whose 1/d is inf (oct_tree_intersector.rs:485-492).  The kernel's
+    guarded inverse must not NaN-cull when a zero direction component
+    meets an origin exactly on an AABB plane.
+
+    Geometry: a unit quad (two triangles) in the z=1 plane spanning
+    [0,1]x[0,1].  Its AABB planes are x=0, x=1, y=0, y=1, z=1."""
+    tris = np.array([
+        [[0, 0, 1], [1, 0, 1], [0, 1, 1]],
+        [[1, 0, 1], [1, 1, 1], [0, 1, 1]],
+    ], np.float32)
+    bvh, args = build(tris, tpl=128)
+    o = np.array([
+        [0.25, 0.25, 0.0],   # straight +z hit; dx=dy=0, origin x/y inside
+        [0.0, 0.25, 0.0],    # origin exactly ON the x=0 box plane, dx=0
+        [0.0, 0.0, 0.0],     # origin on BOTH x=0 and y=0 planes
+        [1.0, 1.0, 0.0],     # origin on both max planes
+        [2.0, 0.25, 0.0],    # outside the slab, axis-parallel -> miss
+        [0.25, 0.25, 1.0],   # origin ON the z=1 plane shooting along it
+    ], np.float32)
+    d = np.array([
+        [0, 0, 1],
+        [0, 0, 1],
+        [0, 0, 1],
+        [0, 0, 1],
+        [0, 0, 1],
+        [1, 0, 0],
+    ], np.float32)
+    pad = 1024 - len(o)
+    o = np.concatenate([o, np.full((pad, 3), DEAD_ORIGIN, np.float32)])
+    d = np.concatenate([d, np.ones((pad, 3), np.float32)])
+    for exact_order in (True, False):
+        t, u, v, i = run_kernel(o, d, args, exact_order=exact_order)
+        t = np.asarray(t)
+        np.testing.assert_allclose(t[:4], 1.0, rtol=1e-6)
+        assert t[4] == BIG_T
+        # ray 5 grazes exactly in the triangle plane; brute agreement is
+        # all that is required (degenerate det -> reference rejects too)
+        brute = closest_hit(jnp.asarray(o[5:6]), jnp.asarray(d[5:6]),
+                            jnp.asarray(tris))
+        assert (t[5] < BIG_T) == bool(np.asarray(brute["hit"])[0])
+        assert not np.isnan(t[:6]).any()
 
 
 def test_bvh_intersector_end_to_end_interpret():
