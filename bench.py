@@ -31,6 +31,7 @@ TPL = int(os.environ.get("BENCH_TPL", 256))
 ACCEL_OPTS = {k: int(os.environ[e]) for k, e in
               (("seg", "BENCH_SEG"), ("group", "BENCH_GROUP"))
               if os.environ.get(e)} if ACCEL == "bvh" else {}
+SORTKEY = os.environ.get("BENCH_SORTKEY", "dir6")
 TARGET_MRAYS = 100.0
 
 
@@ -44,6 +45,7 @@ def main():
 
     rt = rtx.create_raytracer_from_file(SCENE, width=W, height=H,
                                         accel=ACCEL, triangles_per_leaf=TPL,
+                                        sort_key_mode=SORTKEY,
                                         accel_opts=ACCEL_OPTS)
     # warmup: compile the whole-frame step (retry once — the remote
     # compile tunnel occasionally drops a response mid-read)

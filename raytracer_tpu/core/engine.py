@@ -86,23 +86,30 @@ class RayTracer:
     def _shade_fast_args(self):
         """Forward-only shading fast path: packed slot records + static
         has-textures flag (None/True when the intersector has no packed
-        slot layout).  Built once; the engine treats scene materials as
-        fixed (training paths construct their own steps without it)."""
+        slot layout) + whether the intersector extracts records
+        IN-KERNEL (fused, no gather).  Built once; the engine treats
+        scene materials as fixed (training paths construct their own
+        steps without it)."""
         if getattr(self.intersector, "perm", None) is None:
-            return None, True
+            return None, True, False
         from raytracer_tpu.core.shade import build_slot_records
+        has_tex = bool((np.asarray(self.scene_buffers.mat_tex_id) >= 0).any())
         if getattr(self, "_slot_records", None) is None:
             self._slot_records = build_slot_records(
                 self.scene_arrays, self.intersector.perm,
                 self.intersector.perm.shape[0])
-        has_tex = bool((np.asarray(self.scene_buffers.mat_tex_id) >= 0).any())
-        return self._slot_records, has_tex
+            if hasattr(self.intersector, "set_shade_records"):
+                # normal xyz + diffuse rgb (+ tex id for textured scenes)
+                self.intersector.set_shade_records(
+                    self._slot_records[:, :7 if has_tex else 6])
+        fused = bool(getattr(self.intersector, "supports_fused_shade", False))
+        return self._slot_records, has_tex, fused
 
     def _make_step(self):
         isect = self.intersector
         W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
-        records, has_tex = self._shade_fast_args()
+        records, has_tex, fused = self._shade_fast_args()
 
         def step(scene, cam, px, py, key):
             kj, kt = jax.random.split(key)
@@ -110,7 +117,7 @@ class RayTracer:
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
             return trace_radiance(scene, origins, dirs, kt, isect,
                                   rec, spread, shade_records=records,
-                                  has_textures=has_tex,
+                                  has_textures=has_tex, fused_shade=fused,
                                   sort_key_mode=self.sort_key_mode)
 
         return jax.jit(step)
@@ -204,7 +211,7 @@ class RayTracer:
         else:
             py = jnp.asarray(py_actual)
 
-        records, has_tex = self._shade_fast_args()
+        records, has_tex, fused = self._shade_fast_args()
 
         def render_once(scene, cam, key):
             kj, kt = jax.random.split(key)
@@ -213,7 +220,7 @@ class RayTracer:
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
             rad = trace_radiance(scene, origins, dirs, kt, isect,
                                  rec, spread, shade_records=records,
-                                 has_textures=has_tex,
+                                 has_textures=has_tex, fused_shade=fused,
                                  sort_key_mode=self.sort_key_mode)
             img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))
@@ -275,11 +282,12 @@ class RayTracer:
             _per_device_keys, make_sharded_frame_loop, pixel_grid)
         mesh = mesh or make_mesh()
         if self._sharded_render is None or self._sharded_mesh is not mesh:
-            records, has_tex = self._shade_fast_args()
+            records, has_tex, fused = self._shade_fast_args()
             self._sharded_render = make_sharded_frame_loop(
                 mesh, self.intersector, self.width, self.height,
                 self.recursions, self.spread,
                 shade_records=records, has_textures=has_tex,
+                fused_shade=fused,
                 sort_key_mode=self.sort_key_mode)
             self._sharded_mesh = mesh
         px, py, real = pixel_grid(self.width, self.height,

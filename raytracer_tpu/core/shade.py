@@ -88,6 +88,50 @@ def build_slot_records(scene, perm, num_slots):
     return jnp.concatenate([n, rgb, tex[:, None], pad[:, None]], axis=1)
 
 
+def prepare_shade_fused(scene, origins, dirs, hit, has_textures):
+    """Forward-only variant of `prepare_shade` for intersectors that
+    extract the winning triangle's shading record IN-KERNEL
+    (hit["rec"] = (R, 6|7): normal xyz, diffuse rgb[, tex id]) — no
+    slot-record gather at all.  Semantics identical to
+    `prepare_shade`."""
+    t, u, v = hit["t"], hit["u"], hit["v"]
+    hit_mask = hit["hit"]
+    rec = hit["rec"]
+    normal = rec[:, 0:3]
+    diffuse_rgb = rec[:, 3:6]
+
+    if has_textures:
+        tex_id = rec[:, 6].astype(jnp.int32)
+        safe_tex = jnp.maximum(tex_id, 0)
+        hw = scene.tex_hw[safe_tex]
+        h, w = hw[:, 0], hw[:, 1]
+        x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+        texel = scene.tex_atlas[safe_tex, y, x]
+        diffuse_rgb = jnp.where((tex_id >= 0)[:, None], texel, diffuse_rgb)
+
+    t = jnp.where(hit_mask, t, 0.0)
+    hit_point = origins + t[:, None] * dirs
+    view = _normalize(dirs)
+
+    L = scene.light_pos.shape[0]
+    to_light = scene.light_pos[:, None, :] - hit_point[None, :, :]
+    tl_n = _normalize(to_light)
+    dot_ln = jnp.sum(normal[None] * tl_n, axis=-1)
+    facing = dot_ln >= 0.0
+    shadow_origin = hit_point[None] + 0.01 * to_light
+    shadow_alive = hit_mask[None] & facing
+
+    return dict(
+        hit_mask=hit_mask, normal=normal, hit_point=hit_point,
+        diffuse_rgb=diffuse_rgb, view=view, tl_n=tl_n, dot_ln=dot_ln,
+        facing=facing, num_lights=L,
+        shadow_origins=shadow_origin.reshape(L * hit_point.shape[0], 3),
+        shadow_dirs=to_light.reshape(L * hit_point.shape[0], 3),
+        shadow_alive=shadow_alive.reshape(-1),
+    )
+
+
 def prepare_shade_fast(scene, origins, dirs, hit, records, has_textures):
     """Forward-only variant of `prepare_shade`: all per-hit scene
     lookups come from one (R, 8) gather of the packed slot records

@@ -11,18 +11,21 @@ scene/color.rs:89-95.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # sRGB <-> XYZ matrices (tonemap.rs:37-51); row-vector convention.
-_RGB_TO_XYZ = jnp.array([
+# numpy (not jnp) so importing this module never initializes the XLA
+# backend — jax.distributed.initialize must be callable after import.
+_RGB_TO_XYZ = np.array([
     [0.4124564, 0.2126729, 0.0193339],
     [0.3575761, 0.7151522, 0.119192],
     [0.1804375, 0.0721750, 0.9503041],
-], dtype=jnp.float32)
-_XYZ_TO_RGB = jnp.array([
+], dtype=np.float32)
+_XYZ_TO_RGB = np.array([
     [3.2404542, -0.969266, 0.0556434],
     [-1.5371385, 1.8760108, -0.2040259],
     [-0.4985314, 0.0415560, 1.0572252],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
 
 def simple_map(color):

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from raytracer_tpu.core.sampler import hemisphere_from_gaussian
 from raytracer_tpu.core.shade import (finish_shade, prepare_shade,
-                                      prepare_shade_fast)
+                                      prepare_shade_fast,
+                                      prepare_shade_fused)
 
 # Compile-time knobs of the reference render loop (mod.rs:81-82).
 RECURSIONS = 2
@@ -75,19 +76,31 @@ def _expand3(x):
     return x
 
 
-def _sort_key(isect, origins, dirs, alive, mode="dir6"):
+def _sort_key(isect, origins, dirs, alive, mode="dir6", parent_slot=None):
     """Spatial sort key for bounce rays: direction bins (major) then a
     Morton code of the spawn origin (minor); dead rays key past
     everything.  Blocks then share one direction bin and a tight origin
     cell — exactly what the kernel's per-block front-to-back walk and
     AABB culling want.
 
-    mode (measured e2e Mrays/s on thai2 1024^2, round 2):
+    mode (measured e2e Mrays/s on thai2 1024^2, round 2 unless noted):
       "dir6"     1.55 — 64 direction bins major, 15-bit Morton minor
-                 (the measured-best default)
+      "leafdir"  (round 4) — parent BVH row major (the spawning row is a
+                 tight AABB of ~row-width triangles, a far tighter origin
+                 bin than a Morton cell), 64 direction bins minor;
+                 requires parent_slot
       "dirmajor" 1.42 — 8 octants major, 21-bit Morton minor
       "posmajor" 0.97 — Morton major, octant minor
     """
+    if mode == "leafdir":
+        cap = isect.leaf_capacity
+        row = parent_slot // cap
+        mag = jnp.max(jnp.abs(dirs), axis=1, keepdims=True)
+        qd = jnp.clip(((dirs / jnp.maximum(mag, 1e-30)) + 1.0) * 2.0,
+                      0.0, 3.0).astype(jnp.int32)
+        dirbin = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
+        key = (row << 6) | dirbin
+        return jnp.where(alive, key, jnp.int32(2 ** 30))
     lo, inv_span = isect.world_lo, isect.world_inv_span
     q = jnp.clip((origins - lo) * inv_span * 128.0, 0.0, 127.0)
     q = q.astype(jnp.int32)
@@ -139,7 +152,7 @@ def _unsort_radiance(rad, orig):
 def trace_radiance(scene, origins, dirs, key, isect,
                    recursions: int = RECURSIONS, spread: int = SUB_SPREAD,
                    sort_rays: bool = True, shade_records=None,
-                   has_textures: bool = True,
+                   has_textures: bool = True, fused_shade: bool = False,
                    sort_key_mode: str = "dir6"):
     """Radiance for R primary rays, bounce tree unrolled.
 
@@ -153,10 +166,21 @@ def trace_radiance(scene, origins, dirs, key, isect,
     path — one gather per level instead of five.  Training paths leave
     it None so gradients flow through the live scene arrays.
 
+    fused_shade: the intersector extracts the winning record IN-KERNEL
+    (BVHIntersector.set_shade_records); closest-hit queries pass
+    emit_shade=True and shading uses hit["rec"] with no gather at all.
+
     Returns (R, 3) radiance; rays that miss everything return black
     (mod.rs:99-110).
     """
+    def _closest(o, d, alive):
+        if fused_shade:
+            return isect.query(scene, o, d, alive=alive, emit_shade=True)
+        return isect.query(scene, o, d, alive=alive)
+
     def _prepare(o, d, h):
+        if fused_shade:
+            return prepare_shade_fused(scene, o, d, h, has_textures)
         if shade_records is not None:
             return prepare_shade_fast(scene, o, d, h, shade_records,
                                       has_textures)
@@ -181,7 +205,7 @@ def trace_radiance(scene, origins, dirs, key, isect,
     subs = jax.random.split(key, recursions) if recursions > 0 else None
     pending_g = None  # (n_parents, 3*b) canonical Gaussians, parent order
 
-    hit = isect.query(scene, cur_o, cur_d, alive=parent_alive)
+    hit = _closest(cur_o, cur_d, parent_alive)
 
     for level in range(recursions + 1):
         ctx = _prepare(cur_o, cur_d, hit)
@@ -218,8 +242,10 @@ def trace_radiance(scene, origins, dirs, key, isect,
             child_alive = jnp.repeat(alive, b, axis=0)
 
             if do_sort:
+                pslot = (jnp.repeat(hit["slot"], b, axis=0)
+                         if sort_key_mode == "leafdir" else None)
                 skey = _sort_key(isect, child_o, child_d, child_alive,
-                                 mode=sort_key_mode)
+                                 mode=sort_key_mode, parent_slot=pslot)
                 # original (pixel-order) index of each child: parents are
                 # themselves sorted, so map through the parent ordering
                 if perm_total is None:
@@ -255,7 +281,7 @@ def trace_radiance(scene, origins, dirs, key, isect,
             else:
                 pending_g = None
 
-            hit = isect.query(scene, child_o, child_d, alive=child_alive)
+            hit = _closest(child_o, child_d, child_alive)
             cur_o, cur_d, parent_alive = child_o, child_d, child_alive
             weight = weight / b                          # mean over children
             fan = fan * b

@@ -82,22 +82,26 @@ def _safe_inv(x):
     return 1.0 / jnp.where(jnp.abs(x) < _DIR_TINY, _DIR_TINY, x)
 
 
-def _bvh_kernel(limit, shadow, G, S, exact_order,
+def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
                 oidx_ref,                     # SMEM (1, nb) int32
                 alive_ref,                    # SMEM (1, nb) int32
                 order_ref,                    # SMEM (6, K1) int32
                 o_ref, d_ref,                 # VMEM (RB, 3)
                 sc_aabb_ref,                  # VMEM (K1, 8)
                 seg_aabb_ref,                 # VMEM (NL*S, 8)
-                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,  # VMEM (NL, C)
-                t_out, u_out, v_out, i_out,   # VMEM (8, RB) blocks
-                tent,                         # scratch (K1, RB) f32
-                mintent,                      # scratch (K1, 1) f32
-                mintent_sm,                   # scratch SMEM (K1, 1) f32
-                order_sm,                     # scratch SMEM (K1, 1) int32
-                sem,                          # DMA semaphore
-                bt, bu, bv, bi,               # scratch (RB, 1)
-                maxbest):                     # scratch SMEM (1, 1) f32
+                *rest):
+    # rest = 9 triangle planes (NL, C) [+ n_rec shading-record planes
+    # (NL, C)], then outputs t/u/v/i [+ n_rec], then scratch.
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = rest[:9]
+    rec_planes = rest[9:9 + n_rec]
+    k = 9 + n_rec
+    t_out, u_out, v_out, i_out = rest[k:k + 4]
+    rec_out = rest[k + 4:k + 4 + n_rec]
+    k += 4 + n_rec
+    (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[k:k + 9]
+    rec_acc = rest[k + 9:k + 9 + n_rec]       # scratch (RB, 1) f32 each
+    maxbest = rest[k + 9 + n_rec]             # scratch SMEM (1, 1) f32
+
     K1 = sc_aabb_ref.shape[0]
     C = v0x.shape[1]
     RB = o_ref.shape[0]
@@ -120,6 +124,8 @@ def _bvh_kernel(limit, shadow, G, S, exact_order,
         bu[:] = jnp.zeros((RB, 1), jnp.float32)
         bv[:] = jnp.zeros((RB, 1), jnp.float32)
         bi[:] = jnp.zeros((RB, 1), jnp.int32)
+        for acc in rec_acc:
+            acc[:] = jnp.zeros((RB, 1), jnp.float32)
 
     # dead lanes (sentinel origins) never find a hit and must not hold
     # the block's culling threshold at BIG_T
@@ -226,6 +232,14 @@ def _bvh_kernel(limit, shadow, G, S, exact_order,
                 bu[:] = jnp.where(better, uj, bu[:])
                 bv[:] = jnp.where(better, vj, bv[:])
                 bi[:] = jnp.where(better, leaf * C + jfirst, bi[:])
+                # shading-record epilogue: extract the winning triangle's
+                # packed record values (normal/diffuse[/tex]) through the
+                # same one-hot mask — kills the post-hoc (R, n_rec)
+                # slot-record gather on the XLA side (VERDICT r3 item 4)
+                for acc, plane in zip(rec_acc, rec_planes):
+                    pj = jnp.sum(jnp.where(sel, plane[pl.ds(leaf, 1), :], 0.0),
+                                 axis=1, keepdims=True)
+                    acc[:] = jnp.where(better, pj, acc[:])
             bt[:] = jnp.where(better, tmin_row, bt[:])
             maxbest[0, 0] = jnp.minimum(
                 jnp.max(jnp.where(alive_row, bt[:], 0.0)),
@@ -302,12 +316,15 @@ def _bvh_kernel(limit, shadow, G, S, exact_order,
         u_out[pl.ds(row, 1), :] = bu[:].reshape(1, RB)
         v_out[pl.ds(row, 1), :] = bv[:].reshape(1, RB)
         i_out[pl.ds(row, 1), :] = bi[:].reshape(1, RB)
+        for out, acc in zip(rec_out, rec_acc):
+            out[pl.ds(row, 1), :] = acc[:].reshape(1, RB)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t_limit", "shadow",
                                              "ray_block", "group",
                                              "exact_order"))
 def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
+                       rec_planes=(),
                        interpret=False, t_limit=None, shadow=False,
                        ray_block=DEFAULT_RAY_BLOCK, group=8,
                        exact_order=None):
@@ -315,11 +332,17 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
     v0/e1/e2: (NL, C, 3) packed triangle SoA; seg_aabb: (NL*S, 8) with
     S segments per row; sc_aabb: (K1, 8) with NL = K1*group;
     orders: (6, K1) int32.
+    rec_planes: optional tuple of per-slot shading-record planes, each
+    (NL, C) f32 (e.g. normal xyz + diffuse rgb [+ tex id]); the winning
+    triangle's values are extracted in the Möller–Trumbore epilogue and
+    returned as extra (R,) outputs, replacing the post-hoc slot-record
+    gather.
     t_limit: STATIC float — superclusters/segments entirely beyond it
     are culled (hits past the limit MAY be missed; the closest hit below
     it is exact).
-    Returns t (R,) f32 [, u, v (R,) f32 and idx (R,) int32 packed-slot
-    index when not shadow; shadow returns only t]."""
+    Returns t (R,) f32 [, u, v (R,) f32, idx (R,) int32 packed-slot
+    index, and one (R,) f32 per rec plane when not shadow; shadow
+    returns only t]."""
     R = origins.shape[0]
     NL, C, _ = v0.shape
     K1 = sc_aabb.shape[0]
@@ -357,8 +380,10 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
     # cheap relative to the block's vector work (measured default)
     if exact_order is None:
         exact_order = K1 <= 64
+    rec_planes = tuple(rec_planes) if not shadow else ()
+    n_rec = len(rec_planes)
     kernel = functools.partial(_bvh_kernel, limit, shadow, group, S,
-                               exact_order)
+                               exact_order, n_rec)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
     # allocated but never read back)
@@ -367,8 +392,8 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         jax.ShapeDtypeStruct((nb, RB), jnp.float32),
         jax.ShapeDtypeStruct((nb, RB), jnp.float32),
         jax.ShapeDtypeStruct((nb, RB), jnp.int32),
-    )
-    t, u, v, i = pl.pallas_call(
+    ) + (jax.ShapeDtypeStruct((nb, RB), jnp.float32),) * n_rec
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk_scalar_spec, blk_scalar_spec,
@@ -378,8 +403,9 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
                   pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM)] + [tri_spec] * 9,
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+                               memory_space=pltpu.VMEM)]
+        + [tri_spec] * (9 + n_rec),
+        out_specs=(out_spec,) * (4 + n_rec),
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((K1, RB), jnp.float32),
                         pltpu.VMEM((K1, 1), jnp.float32),
@@ -388,12 +414,14 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
                         pltpu.SemaphoreType.DMA(())]
         + [pltpu.VMEM((RB, 1), jnp.float32)] * 3
         + [pltpu.VMEM((RB, 1), jnp.int32)]
+        + [pltpu.VMEM((RB, 1), jnp.float32)] * n_rec
         + [pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
-    )(oidx, alive, orders, origins, dirs, sc_aabb, seg_aabb, *planes)
+    )(oidx, alive, orders, origins, dirs, sc_aabb, seg_aabb, *planes,
+      *rec_planes)
     if shadow:
-        return t.reshape(R)
-    return t.reshape(R), u.reshape(R), v.reshape(R), i.reshape(R)
+        return outs[0].reshape(R)
+    return tuple(o.reshape(R) for o in outs)
 
 
 class BVHIntersector:
@@ -434,6 +462,23 @@ class BVHIntersector:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.exact_order = exact_order
+        # optional fused-shade record planes (set_shade_records): each
+        # (NL, C) f32, extracted in-kernel for the forward fast path
+        self.shade_planes = None
+
+    def set_shade_records(self, records):
+        """Install packed per-slot shading records (S, n) — e.g.
+        shade.build_slot_records — as (NL, C) planes for the in-kernel
+        winning-record epilogue.  S must equal NL * C."""
+        NL, C, _ = self.v0.shape
+        records = jnp.asarray(records)
+        assert records.shape[0] == NL * C, (records.shape, NL, C)
+        self.shade_planes = tuple(records[:, k].reshape(NL, C)
+                                  for k in range(records.shape[1]))
+
+    @property
+    def supports_fused_shade(self):
+        return self.use_pallas and self.shade_planes is not None
 
     def _pad(self, origins, dirs):
         R = origins.shape[0]
@@ -454,25 +499,39 @@ class BVHIntersector:
         return (jnp.where(a, origins, DEAD_ORIGIN),
                 jnp.where(a, dirs, 1.0))
 
-    def query(self, scene, origins, dirs, alive=None, t_limit=None):
-        """Generic closest-hit with a STATIC t-limit."""
+    def query(self, scene, origins, dirs, alive=None, t_limit=None,
+              emit_shade=False):
+        """Generic closest-hit with a STATIC t-limit.  With
+        emit_shade=True (requires set_shade_records + the Pallas path)
+        the hit dict additionally carries the winning triangle's packed
+        record columns as "rec" (R, n_rec), extracted in-kernel."""
         origins, dirs = self._mask_dead(origins, dirs, alive)
+        rec = None
         if self.use_pallas:
             origins, dirs, R = self._pad(origins, dirs)
-            t, u, v, i = pallas_bvh_closest(
+            planes = self.shade_planes if emit_shade else ()
+            assert not emit_shade or planes, \
+                "emit_shade requires set_shade_records()"
+            t, u, v, i, *recs = pallas_bvh_closest(
                 origins, dirs, self.v0, self.e1, self.e2, self.seg_aabb,
-                self.sc_aabb, self.orders, t_limit=t_limit,
+                self.sc_aabb, self.orders, rec_planes=planes,
+                t_limit=t_limit,
                 ray_block=self.ray_block, group=self.group,
                 exact_order=self.exact_order)
             t, u, v, i = t[:R], u[:R], v[:R], i[:R]
+            if emit_shade:
+                rec = jnp.stack([r[:R] for r in recs], axis=1)   # (R, n)
         else:
             t, u, v, i = xla_cluster_closest(
                 origins, dirs, self.v0, self.e1, self.e2,
                 self.leaf_aabb[:, 0:3], self.leaf_aabb[:, 3:6])
         hit = t < BIG_T
         tri = jnp.where(hit, self.perm[i], 0)
-        return dict(t=t, u=u, v=v, tri=tri.astype(jnp.int32), hit=hit,
-                    slot=jnp.where(hit, i, 0).astype(jnp.int32))
+        out = dict(t=t, u=u, v=v, tri=tri.astype(jnp.int32), hit=hit,
+                   slot=jnp.where(hit, i, 0).astype(jnp.int32))
+        if rec is not None:
+            out["rec"] = rec
+        return out
 
     def closest(self, scene, origins, dirs, alive=None):
         return self.query(scene, origins, dirs, alive=alive)

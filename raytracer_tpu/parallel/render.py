@@ -38,7 +38,8 @@ def _per_device_keys(key, mesh):
 
 def make_sharded_render(mesh, intersector, width: int, height: int,
                         recursions: int = 2, spread: int = 1,
-                        shade_records=None, has_textures: bool = True):
+                        shade_records=None, has_textures: bool = True,
+                        fused_shade: bool = False):
     """Returns render(scene, cam, px, py, keys) -> radiance (R, 3), with
     px/py/radiance sharded over the `rays` axis and scene/cam replicated.
     R must divide evenly by the mesh size.  shade_records (closure
@@ -52,7 +53,8 @@ def make_sharded_render(mesh, intersector, width: int, height: int,
         return trace_radiance(scene, origins, dirs, kt, intersector,
                               recursions, spread,
                               shade_records=shade_records,
-                              has_textures=has_textures)
+                              has_textures=has_textures,
+                              fused_shade=fused_shade)
 
     sharded = shard_map(
         local, mesh=mesh,
@@ -71,6 +73,7 @@ def make_sharded_render(mesh, intersector, width: int, height: int,
 def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
                             recursions: int = 2, spread: int = 1,
                             shade_records=None, has_textures: bool = True,
+                            fused_shade: bool = False,
                             sort_key_mode: str = "dir6"):
     """Whole-frame multi-spp render with pixels sharded over the mesh:
     the spp loop and film-moment accumulation run ON DEVICE (one dispatch
@@ -96,6 +99,7 @@ def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
                                  recursions, spread,
                                  shade_records=shade_records,
                                  has_textures=has_textures,
+                                 fused_shade=fused_shade,
                                  sort_key_mode=sort_key_mode)
             return (psum + rad, psq + rad * rad, key)
 

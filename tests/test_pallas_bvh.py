@@ -192,6 +192,31 @@ def test_bvh_axis_parallel_rays_zero_direction():
         assert not np.isnan(t[:6]).any()
 
 
+def test_bvh_fused_shade_records_match_gather():
+    """The in-kernel winning-record epilogue (rec_planes) must return
+    exactly records[slot] for hits and zeros for misses — the gather it
+    replaces (shade.prepare_shade_fast's records[hit["slot"]])."""
+    tris = random_scene(1200, seed=21)
+    o, d = random_rays(1024, seed=22)
+    bvh, args = build(tris, tpl=128)
+    rng = np.random.default_rng(23)
+    S = bvh.num_leaves * bvh.leaf_size
+    records = rng.random((S, 6)).astype(np.float32)
+    planes = tuple(jnp.asarray(records[:, k].reshape(bvh.num_leaves,
+                                                     bvh.leaf_size))
+                   for k in range(6))
+    t, u, v, i, *recs = run_kernel(o, d, args, rec_planes=planes)
+    t, i = np.asarray(t), np.asarray(i)
+    hit = t < BIG_T
+    got = np.stack([np.asarray(r) for r in recs], axis=1)
+    np.testing.assert_array_equal(got[hit], records[i[hit]])
+    assert (got[~hit] == 0).all()
+    # and the winning slot agrees with brute force
+    brute = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tris))
+    np.testing.assert_array_equal(bvh.perm[i[hit]],
+                                  np.asarray(brute["tri"])[hit])
+
+
 def test_bvh_intersector_end_to_end_interpret():
     """The full BVHIntersector (padding, dead-masking, perm mapping,
     windowed shadow) through the Pallas path in interpret mode."""
