@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from raytracer_tpu.core.film import Film
 from raytracer_tpu.core.intersectors import make_intersector
 from raytracer_tpu.core.tonemap import pack_u32, simple_map
-from raytracer_tpu.core.wavefront import RECURSIONS, SUB_SPREAD, trace_radiance
+from raytracer_tpu.core.wavefront import (RECURSIONS, SUB_SPREAD,
+                                          trace_radiance,
+                                          trace_radiance_fused)
 from raytracer_tpu.models.camera import generate_rays
 
 # reference: oct_tree_intersector.rs:12
@@ -105,20 +107,36 @@ class RayTracer:
         fused = bool(getattr(self.intersector, "supports_fused_shade", False))
         return self._slot_records, has_tex, fused
 
-    def _make_step(self):
+    def _radiance_fn(self):
+        """The per-batch radiance closure: whole-level fused kernels when
+        the intersector supports them (TPU, texture-free scenes), the
+        composable wavefront otherwise."""
         isect = self.intersector
-        W, H = self.width, self.height
         rec, spread = self.recursions, self.spread
         records, has_tex, fused = self._shade_fast_args()
+        if getattr(isect, "supports_fused_spawn", False):
+            def fn(scene, origins, dirs, kt):
+                return trace_radiance_fused(
+                    scene, origins, dirs, kt, isect, rec, spread,
+                    sort_key_mode=self.sort_key_mode)
+        else:
+            def fn(scene, origins, dirs, kt):
+                return trace_radiance(scene, origins, dirs, kt, isect,
+                                      rec, spread, shade_records=records,
+                                      has_textures=has_tex,
+                                      fused_shade=fused,
+                                      sort_key_mode=self.sort_key_mode)
+        return fn
+
+    def _make_step(self):
+        W, H = self.width, self.height
+        radiance = self._radiance_fn()
 
         def step(scene, cam, px, py, key):
             kj, kt = jax.random.split(key)
             jitter = jax.random.uniform(kj, (px.shape[0], 2), dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
-            return trace_radiance(scene, origins, dirs, kt, isect,
-                                  rec, spread, shade_records=records,
-                                  has_textures=has_tex, fused_shade=fused,
-                                  sort_key_mode=self.sort_key_mode)
+            return radiance(scene, origins, dirs, kt)
 
         return jax.jit(step)
 
@@ -192,9 +210,7 @@ class RayTracer:
         wavefront, and the un-swizzle back to pixel order as a pure
         reshape/transpose (no gather), so the film update is a dense add
         (no scatter)."""
-        isect = self.intersector
         W, H = self.width, self.height
-        rec, spread = self.recursions, self.spread
         TW, TH = self.TILE_W, self.TILE_H
         Wp, Hp = -(-W // TW) * TW, -(-H // TH) * TH
 
@@ -211,17 +227,14 @@ class RayTracer:
         else:
             py = jnp.asarray(py_actual)
 
-        records, has_tex, fused = self._shade_fast_args()
+        radiance = self._radiance_fn()
 
         def render_once(scene, cam, key):
             kj, kt = jax.random.split(key)
             jitter = jax.random.uniform(kj, (px.shape[0], 2),
                                         dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, W, H)
-            rad = trace_radiance(scene, origins, dirs, kt, isect,
-                                 rec, spread, shade_records=records,
-                                 has_textures=has_tex, fused_shade=fused,
-                                 sort_key_mode=self.sort_key_mode)
+            rad = radiance(scene, origins, dirs, kt)
             img = (rad.reshape(Hp // TH, Wp // TW, TH, TW, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3))
             return img[:H, :W].reshape(H * W, 3)
@@ -288,6 +301,8 @@ class RayTracer:
                 self.recursions, self.spread,
                 shade_records=records, has_textures=has_tex,
                 fused_shade=fused,
+                fused_spawn=bool(getattr(self.intersector,
+                                         "supports_fused_spawn", False)),
                 sort_key_mode=self.sort_key_mode)
             self._sharded_mesh = mesh
         px, py, real = pixel_grid(self.width, self.height,

@@ -25,8 +25,13 @@ def hemisphere_from_gaussian(g, normals):
     Gaussian draw (uniform on the sphere) and reflect into the normal's
     hemisphere.  Separated from the draw so callers can generate the
     Gaussians in canonical ray order and permute them alongside sorted
-    rays — results then don't depend on traversal ordering."""
-    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    rays — results then don't depend on traversal ordering.
+
+    The norm is the explicit component form (x*x + y*y) + z*z — NOT
+    jnp.linalg.norm, which differs by 1 ulp — so the in-kernel epilogue
+    (pallas_bvh._norm3) reproduces these directions bit-for-bit."""
+    norm = jnp.sqrt(g[..., 0:1] * g[..., 0:1] + g[..., 1:2] * g[..., 1:2]
+                    + g[..., 2:3] * g[..., 2:3])
     d = g / jnp.where(norm > 0, norm, 1.0)
     dot = jnp.sum(d * normals, axis=-1, keepdims=True)
     return jnp.where(dot < 0, -d, d)

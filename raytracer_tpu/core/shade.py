@@ -47,7 +47,10 @@ def geometric_normal(tri_verts, tri_idx):
 
 
 def _normalize(v):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # explicit component form (bit-identical to the in-kernel
+    # pallas_bvh._norm3; jnp.linalg.norm differs by 1 ulp)
+    n = jnp.sqrt(v[..., 0:1] * v[..., 0:1] + v[..., 1:2] * v[..., 1:2]
+                 + v[..., 2:3] * v[..., 2:3])
     return v / jnp.where(n > 0, n, 1.0)
 
 

@@ -85,10 +85,13 @@ def _sort_key(isect, origins, dirs, alive, mode="dir6", parent_slot=None):
 
     mode (measured e2e Mrays/s on thai2 1024^2, round 2 unless noted):
       "dir6"     1.55 — 64 direction bins major, 15-bit Morton minor
-      "leafdir"  (round 4) — parent BVH row major (the spawning row is a
-                 tight AABB of ~row-width triangles, a far tighter origin
-                 bin than a Morton cell), 64 direction bins minor;
-                 requires parent_slot
+      "leafdir"  parent BVH row major (tight origin bin), 64 direction
+                 bins minor; requires parent_slot.  Measured LOSS
+                 (round 4, scripts/sweep_sortkey.py): L1 closest 168.6
+                 vs dir6's 149.9 ms — origin-tight blocks diverge in
+                 direction, and the front-to-back walk's early-exit
+                 depends on direction agreement more than origin
+                 tightness.  Kept for scenes with different profiles.
       "dirmajor" 1.42 — 8 octants major, 21-bit Morton minor
       "posmajor" 0.97 — Morton major, octant minor
     """
@@ -287,3 +290,157 @@ def trace_radiance(scene, origins, dirs, key, isect,
             fan = fan * b
 
     return radiance
+
+
+def trace_radiance_fused(scene, origins, dirs, key, isect,
+                         recursions: int = RECURSIONS,
+                         spread: int = SUB_SPREAD,
+                         sort_key_mode: str = "dir6"):
+    """Whole-level fused variant of `trace_radiance` for intersectors
+    exposing spawn/shadow_shade (BVHIntersector on TPU, texture-free
+    scenes): each level is ONE closest+spawn kernel (shadow rays, child
+    rays and their sort keys constructed in the Möller–Trumbore
+    epilogue) and ONE occlusion+radiance kernel; the XLA glue between
+    them reduces to the child sorts, the canonical RNG draws, and the
+    per-level radiance unsort — everything else rides (nb, RB) planes
+    whose (R,) column reshapes are free.
+
+    Semantics — ray tree, RNG streams, quirks — are IDENTICAL to
+    `trace_radiance` with sorting on (verified bit-for-bit in
+    tests/test_fused_spawn.py): Gaussians are drawn in canonical pixel
+    order with the unpadded shapes the reference path uses, and ride
+    the sorts as payload columns."""
+    R0 = origins.shape[0]
+    RB = isect.ray_block
+    pad = (-R0) % (8 * RB)
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.broadcast_to(jnp.float32(1e35), (pad, 3))])
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.array([1.0, 1.0, 1.0]), (pad, 3))])
+    R = origins.shape[0]
+    nb = R // RB
+    L = scene.light_pos.shape[0]
+    subs = jax.random.split(key, recursions) if recursions > 0 else None
+
+    cur_o = [origins[:, k].reshape(nb, RB) for k in range(3)]
+    cur_d = [dirs[:, k].reshape(nb, RB) for k in range(3)]
+    rad_acc = [jnp.zeros((R,), jnp.float32) for _ in range(3)]
+    weight, fan = 1.0, 1
+    perm_total = None
+    pending_cols = None      # 3*b gaussian columns riding the last sort
+    nb_l = nb
+
+    for level in range(recursions + 1):
+        n_rays = nb_l * RB
+        n_real = R0 * fan               # rays that aren't padding
+        b = spread * (recursions - level) if level < recursions else 0
+
+        # canonical Gaussians for this level's children, with the same
+        # draw shapes as the unfused path (padding rows are zeros and
+        # belong to dead rays)
+        if b:
+            if pending_cols is None:
+                g = jax.random.normal(subs[level], (n_real * b, 3),
+                                      dtype=jnp.float32)
+                gcols_mat = g.reshape(n_real, 3 * b)
+                if n_rays != n_real:
+                    gcols_mat = jnp.concatenate(
+                        [gcols_mat,
+                         jnp.zeros((n_rays - n_real, 3 * b), jnp.float32)])
+                gcols = [gcols_mat[:, c] for c in range(3 * b)]
+            else:
+                gcols = pending_cols
+            gauss_planes = [c.reshape(nb_l, RB) for c in gcols]
+        else:
+            gauss_planes = []
+
+        sres = isect.spawn(cur_o, cur_d, gauss_planes, scene.light_pos,
+                           children=b)
+
+        # occlusion + radiance (light-major shadow batch)
+        so_pl = [jnp.concatenate([sres["shadow"][li][k] for li in range(L)])
+                 if L > 1 else sres["shadow"][0][k] for k in range(3)]
+        sd_pl = [jnp.concatenate([sres["shadow"][li][3 + k]
+                                  for li in range(L)])
+                 if L > 1 else sres["shadow"][0][3 + k] for k in range(3)]
+        rr, rg, rb_ = isect.shadow_shade(
+            so_pl, sd_pl, sres["rec"][0:3], sres["rec"][3:6], cur_d,
+            scene.light_color)
+        if L > 1:
+            rr = rr.reshape(L, n_rays).sum(axis=0)
+            rg = rg.reshape(L, n_rays).sum(axis=0)
+            rb_ = rb_.reshape(L, n_rays).sum(axis=0)
+        rcols = [rr.reshape(n_rays), rg.reshape(n_rays), rb_.reshape(n_rays)]
+
+        # fold back to pixel order and accumulate
+        if perm_total is not None:
+            _, r0c, r1c, r2c = jax.lax.sort(
+                (perm_total, rcols[0], rcols[1], rcols[2]), num_keys=1)
+            rcols = [r0c, r1c, r2c]
+        if fan > 1:
+            rcols = [c.reshape(R, fan).sum(axis=1) for c in rcols]
+        rad_acc = [a + weight * c for a, c in zip(rad_acc, rcols)]
+
+        if b:
+            # child columns in canonical (parent-major) interleave
+            def inter(cols_j):
+                if b == 1:
+                    return cols_j[0].reshape(n_rays)
+                return jnp.stack([c.reshape(n_rays) for c in cols_j],
+                                 axis=1).reshape(-1)
+
+            ch = sres["children"]
+            cox = inter([ch[j][0] for j in range(b)])
+            coy = inter([ch[j][1] for j in range(b)])
+            coz = inter([ch[j][2] for j in range(b)])
+            cdx = inter([ch[j][3] for j in range(b)])
+            cdy = inter([ch[j][4] for j in range(b)])
+            cdz = inter([ch[j][5] for j in range(b)])
+            if sort_key_mode == "dir6":
+                skey = inter([ch[j][6] for j in range(b)])
+            else:
+                alive = jnp.abs(cox) < _ALIVE_SORT_LIMIT
+                skey = _sort_key(isect,
+                                 jnp.stack([cox, coy, coz], axis=1),
+                                 jnp.stack([cdx, cdy, cdz], axis=1),
+                                 alive, mode=sort_key_mode)
+
+            if perm_total is None:
+                orig = jnp.arange(n_rays * b, dtype=jnp.int32)
+            else:
+                orig = (jnp.repeat(perm_total * b, b)
+                        + jnp.tile(jnp.arange(b, dtype=perm_total.dtype),
+                                   perm_total.shape[0]))
+
+            extra = []
+            if level + 1 < recursions:
+                b_next = spread * (recursions - level - 1)
+                g_next = jax.random.normal(
+                    subs[level + 1], (n_real * b * b_next, 3),
+                    dtype=jnp.float32)
+                gmat = g_next.reshape(n_real * b, 3 * b_next)
+                if n_rays != n_real:
+                    gmat = jnp.concatenate(
+                        [gmat, jnp.zeros(((n_rays - n_real) * b, 3 * b_next),
+                                         jnp.float32)])
+                gmat = gmat[orig]
+                extra = [gmat[:, c] for c in range(3 * b_next)]
+
+            sorted_cols = jax.lax.sort(
+                (skey, cox, coy, coz, cdx, cdy, cdz, orig, *extra),
+                num_keys=1)
+            (_, cox, coy, coz, cdx, cdy, cdz, perm_total) = sorted_cols[:8]
+            pending_cols = list(sorted_cols[8:]) or None
+
+            nb_l = nb_l * b
+            cur_o = [c.reshape(nb_l, RB) for c in (cox, coy, coz)]
+            cur_d = [c.reshape(nb_l, RB) for c in (cdx, cdy, cdz)]
+            weight = weight / b
+            fan = fan * b
+
+    radiance = jnp.stack(rad_acc, axis=1)
+    return radiance[:R0]
+
+
+_ALIVE_SORT_LIMIT = 1.0e30

@@ -82,42 +82,29 @@ def _safe_inv(x):
     return 1.0 / jnp.where(jnp.abs(x) < _DIR_TINY, _DIR_TINY, x)
 
 
-def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
-                oidx_ref,                     # SMEM (1, nb) int32
-                alive_ref,                    # SMEM (1, nb) int32
-                order_ref,                    # SMEM (6, K1) int32
-                o_ref, d_ref,                 # VMEM (RB, 3)
-                sc_aabb_ref,                  # VMEM (K1, 8)
-                seg_aabb_ref,                 # VMEM (NL*S, 8)
-                *rest):
-    # rest = 9 triangle planes (NL, C) [+ n_rec shading-record planes
-    # (NL, C)], then outputs t/u/v/i [+ n_rec], then scratch.
-    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = rest[:9]
-    rec_planes = rest[9:9 + n_rec]
-    k = 9 + n_rec
-    t_out, u_out, v_out, i_out = rest[k:k + 4]
-    rec_out = rest[k + 4:k + 4 + n_rec]
-    k += 4 + n_rec
-    (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[k:k + 9]
-    rec_acc = rest[k + 9:k + 9 + n_rec]       # scratch (RB, 1) f32 each
-    maxbest = rest[k + 9 + n_rec]             # scratch SMEM (1, 1) f32
+def _traverse(limit, shadow, G, S, exact_order,
+              oidx_ref, alive_ref, order_ref,
+              cols, rows,
+              sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
+              tent, mintent, mintent_sm, order_sm, sem,
+              bt, bu, bv, bi, rec_acc, maxbest):
+    """The shared two-level walk: initializes the per-ray accumulators
+    (bt/bu/bv/bi/rec_acc, maxbest) and runs the gated supercluster ->
+    segment-row -> Möller–Trumbore traversal for one ray block.
+
+    cols: (ox, oy, oz, dx, dy, dz) as (RB, 1) columns;
+    rows: the same six as (1, RB) rows (the caller owns the layout).
+    Callers read the results out of the accumulator scratch and write
+    their own outputs / epilogues."""
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = planes
+    ox, oy, oz, dx, dy, dz = cols
+    oxr, oyr, ozr, dxr, dyr, dzr = rows
+    idxr, idyr, idzr = _safe_inv(dxr), _safe_inv(dyr), _safe_inv(dzr)
 
     K1 = sc_aabb_ref.shape[0]
     C = v0x.shape[1]
-    RB = o_ref.shape[0]
+    RB = ox.shape[0]
     row = pl.program_id(1)
-
-    o = o_ref[:]
-    d = d_ref[:]
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]          # (RB, 1) cols
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-
-    # row layouts for the cluster-major slab phases
-    oxr, oyr, ozr = (o[:, 0].reshape(1, RB), o[:, 1].reshape(1, RB),
-                     o[:, 2].reshape(1, RB))
-    dxr, dyr, dzr = (d[:, 0].reshape(1, RB), d[:, 1].reshape(1, RB),
-                     d[:, 2].reshape(1, RB))
-    idxr, idyr, idzr = _safe_inv(dxr), _safe_inv(dyr), _safe_inv(dzr)
 
     bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
     if not shadow:
@@ -311,6 +298,43 @@ def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
 
             jax.lax.fori_loop(0, K1, body, 0)
 
+
+def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
+                oidx_ref,                     # SMEM (1, nb) int32
+                alive_ref,                    # SMEM (1, nb) int32
+                order_ref,                    # SMEM (6, K1) int32
+                o_ref, d_ref,                 # VMEM (RB, 3)
+                sc_aabb_ref,                  # VMEM (K1, 8)
+                seg_aabb_ref,                 # VMEM (NL*S, 8)
+                *rest):
+    # rest = 9 triangle planes (NL, C) [+ n_rec shading-record planes
+    # (NL, C)], then outputs t/u/v/i [+ n_rec], then scratch.
+    planes = rest[:9]
+    rec_planes = rest[9:9 + n_rec]
+    k = 9 + n_rec
+    t_out, u_out, v_out, i_out = rest[k:k + 4]
+    rec_out = rest[k + 4:k + 4 + n_rec]
+    k += 4 + n_rec
+    (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[k:k + 9]
+    rec_acc = rest[k + 9:k + 9 + n_rec]       # scratch (RB, 1) f32 each
+    maxbest = rest[k + 9 + n_rec]             # scratch SMEM (1, 1) f32
+
+    RB = o_ref.shape[0]
+    row = pl.program_id(1)
+    o = o_ref[:]
+    d = d_ref[:]
+    cols = (o[:, 0:1], o[:, 1:2], o[:, 2:3],
+            d[:, 0:1], d[:, 1:2], d[:, 2:3])
+    rows = (o[:, 0].reshape(1, RB), o[:, 1].reshape(1, RB),
+            o[:, 2].reshape(1, RB), d[:, 0].reshape(1, RB),
+            d[:, 1].reshape(1, RB), d[:, 2].reshape(1, RB))
+
+    _traverse(limit, shadow, G, S, exact_order,
+              oidx_ref, alive_ref, order_ref, cols, rows,
+              sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
+              tent, mintent, mintent_sm, order_sm, sem,
+              bt, bu, bv, bi, rec_acc, maxbest)
+
     t_out[pl.ds(row, 1), :] = bt[:].reshape(1, RB)
     if not shadow:
         u_out[pl.ds(row, 1), :] = bu[:].reshape(1, RB)
@@ -458,6 +482,9 @@ class BVHIntersector:
         hi = bvh.sc_aabb[:, 3:6].max(axis=0)
         self.world_lo = jnp.asarray(lo)
         self.world_inv_span = jnp.asarray(1.0 / np.maximum(hi - lo, 1e-30))
+        self._world_lo_t = tuple(float(x) for x in lo)
+        self._world_inv_t = tuple(float(x)
+                                  for x in 1.0 / np.maximum(hi - lo, 1e-30))
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -479,6 +506,39 @@ class BVHIntersector:
     @property
     def supports_fused_shade(self):
         return self.use_pallas and self.shade_planes is not None
+
+    @property
+    def supports_fused_spawn(self):
+        """Whole-level fusion (pallas_bvh_spawn/shadow_shade) is wired
+        for texture-free scenes: 6 record planes (normal + diffuse)."""
+        return (self.use_pallas and self.shade_planes is not None
+                and len(self.shade_planes) == 6)
+
+    def spawn(self, o_planes, d_planes, gauss_planes, light_pos,
+              children: int):
+        """Fused closest + shadow-ray + child-ray construction on
+        plane-form rays (see pallas_bvh_spawn)."""
+        assert self.shade_planes is not None
+        return pallas_bvh_spawn(
+            tuple(o_planes), tuple(d_planes), tuple(gauss_planes),
+            light_pos, self.v0, self.e1, self.e2, self.seg_aabb,
+            self.sc_aabb, self.orders, self.shade_planes,
+            world_lo=self._world_lo_t, world_inv_span=self._world_inv_t,
+            group=self.group, exact_order=self.exact_order,
+            n_lights=int(light_pos.shape[0]), children=children,
+            emit_uv=False, ray_block=self.ray_block)
+
+    def shadow_shade(self, so_planes, sd_planes, n_planes, c_planes,
+                     view_planes, light_color):
+        """Fused occlusion + Phong radiance (see
+        pallas_bvh_shadow_shade)."""
+        return pallas_bvh_shadow_shade(
+            tuple(so_planes), tuple(sd_planes), tuple(n_planes),
+            tuple(c_planes), tuple(view_planes), light_color,
+            self.v0, self.e1, self.e2, self.seg_aabb, self.sc_aabb,
+            self.orders, group=self.group, exact_order=self.exact_order,
+            n_lights=int(light_color.shape[0]),
+            ray_block=self.ray_block)
 
     def _pad(self, origins, dirs):
         R = origins.shape[0]
@@ -553,3 +613,392 @@ class BVHIntersector:
                 origins, dirs, self.v0, self.e1, self.e2,
                 self.leaf_aabb[:, 0:3], self.leaf_aabb[:, 3:6])
         return (t < BIG_T) & (t > t_min) & (t < t_max)
+
+
+# --- fused wavefront kernels -------------------------------------------------
+#
+# The closest-hit kernel's epilogue can construct everything the next
+# pipeline stage consumes — shadow rays, Phong radiance inputs, child
+# bounce rays and their sort keys — directly from its per-ray
+# accumulators, at VMEM bandwidth.  Doing so removes the (R, 3)
+# elementwise XLA glue (to-light subtraction, masking selects, repeats,
+# hemisphere reflection, Morton quantization...) that round-4 traces
+# showed costing more than the traversal kernels themselves, plus the
+# layout-conversion copies XLA inserts around every (R, 3) kernel
+# operand.  Ray I/O here is PLANE form — one (nb, RB) f32 array per
+# scalar component — which reshapes for free to the (R,) columns
+# lax.sort consumes, unlike packed (R, 3) arrays whose TPU layout pads
+# 3 -> 128 lanes.
+#
+# wavefront.trace_radiance_fused drives these; semantics are verified
+# bit-for-bit against the unfused path in tests/test_fused_spawn.py.
+
+HIT_OFFSET = 1e-5      # mod.rs:193 (spawn offset along the new dir)
+SHADOW_OFFSET = 0.01   # mod.rs:224-225 (shadow origin offset)
+
+
+def _expand3_k(x):
+    """Morton bit-spread (wavefront._expand3, in-kernel int vector)."""
+    x = (x | (x << 8)) & 0x0100F00F
+    x = (x | (x << 4)) & 0x010C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _norm3(x, y, z):
+    """shade._normalize, component form: v / where(|v| > 0, |v|, 1)."""
+    n = jnp.sqrt(x * x + y * y + z * z)
+    safe = jnp.where(n > 0, n, 1.0)
+    return x / safe, y / safe, z / safe
+
+
+def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
+                  world_lo, world_inv_span,
+                  oidx_ref, alive_ref, order_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, RB)
+                  light_ref,                    # SMEM (L, 4) light pos
+                  sc_aabb_ref, seg_aabb_ref,
+                  *rest):
+    # rest = 9 tri planes + 3b gauss planes (1, RB) + n_rec rec planes,
+    # then outputs, then scratch.
+    planes = rest[:9]
+    gauss = rest[9:9 + 3 * b]
+    rec_planes = rest[9 + 3 * b:9 + 3 * b + n_rec]
+    k = 9 + 3 * b + n_rec
+    n_out = 1 + (2 if emit_uv else 0) + n_rec + 6 * L + 7 * b
+    outs = rest[k:k + n_out]
+    k += n_out
+    (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[k:k + 9]
+    rec_acc = rest[k + 9:k + 9 + n_rec]
+    maxbest = rest[k + 9 + n_rec]
+
+    RB = ox_ref.shape[1]
+    row = pl.program_id(1)
+
+    rows = tuple(r[pl.ds(row, 1), :]
+                 for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+    cols = tuple(r.reshape(RB, 1) for r in rows)
+    ox, oy, oz, dx, dy, dz = cols
+
+    _traverse(limit, False, G, S, exact_order,
+              oidx_ref, alive_ref, order_ref, cols, rows,
+              sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
+              tent, mintent, mintent_sm, order_sm, sem,
+              bt, bu, bv, bi, rec_acc, maxbest)
+
+    # --- epilogue: everything the next stage needs, from (RB, 1) cols ---
+    alive_row = jnp.abs(ox) < _ALIVE_LIMIT
+    hit = (bt[:] < BIG_T) & alive_row
+    t_san = jnp.where(hit, bt[:], 0.0)       # prepare_shade t sanitization
+    hpx = ox + t_san * dx
+    hpy = oy + t_san * dy
+    hpz = oz + t_san * dz
+    nx_, ny_, nz_ = rec_acc[0][:], rec_acc[1][:], rec_acc[2][:]
+
+    out_i = 0
+
+    def emit(col):
+        nonlocal out_i
+        outs[out_i][pl.ds(row, 1), :] = col.reshape(1, RB)
+        out_i += 1
+
+    emit(bt[:])
+    if emit_uv:
+        emit(bu[:])
+        emit(bv[:])
+    for acc in rec_acc:
+        emit(acc[:])
+
+    # shadow rays per light (prepare_shade: origin offset along the
+    # UNNORMALIZED to-light dir; facing via the normalized one)
+    for li in range(L):
+        tlx = light_ref[li, 0] - hpx
+        tly = light_ref[li, 1] - hpy
+        tlz = light_ref[li, 2] - hpz
+        tnx, tny, tnz = _norm3(tlx, tly, tlz)
+        dln = nx_ * tnx + ny_ * tny + nz_ * tnz
+        salive = hit & (dln >= 0.0)
+        emit(jnp.where(salive, hpx + SHADOW_OFFSET * tlx, DEAD_ORIGIN))
+        emit(jnp.where(salive, hpy + SHADOW_OFFSET * tly, DEAD_ORIGIN))
+        emit(jnp.where(salive, hpz + SHADOW_OFFSET * tlz, DEAD_ORIGIN))
+        emit(jnp.where(salive, tlx, 1.0))
+        emit(jnp.where(salive, tly, 1.0))
+        emit(jnp.where(salive, tlz, 1.0))
+
+    # child bounce rays (wavefront child-gen: hemisphere_from_gaussian +
+    # HIT_OFFSET spawn + dead-masking + dir6 sort key)
+    for j in range(b):
+        gx = gauss[3 * j][pl.ds(row, 1), :].reshape(RB, 1)
+        gy = gauss[3 * j + 1][pl.ds(row, 1), :].reshape(RB, 1)
+        gz = gauss[3 * j + 2][pl.ds(row, 1), :].reshape(RB, 1)
+        ux, uy, uz = _norm3(gx, gy, gz)
+        gdot = ux * nx_ + uy * ny_ + uz * nz_
+        flip = gdot < 0.0
+        cdx = jnp.where(flip, -ux, ux)
+        cdy = jnp.where(flip, -uy, uy)
+        cdz = jnp.where(flip, -uz, uz)
+        cox = hpx + HIT_OFFSET * cdx
+        coy = hpy + HIT_OFFSET * cdy
+        coz = hpz + HIT_OFFSET * cdz
+        emit(jnp.where(hit, cox, DEAD_ORIGIN))
+        emit(jnp.where(hit, coy, DEAD_ORIGIN))
+        emit(jnp.where(hit, coz, DEAD_ORIGIN))
+        emit(jnp.where(hit, cdx, 1.0))
+        emit(jnp.where(hit, cdy, 1.0))
+        emit(jnp.where(hit, cdz, 1.0))
+        if key_mode == "dir6":
+            # wavefront._sort_key "dir6": 64 direction bins major,
+            # 15-bit origin Morton minor
+            q = [jnp.clip((c - lo) * inv * 128.0, 0.0, 127.0
+                          ).astype(jnp.int32)
+                 for c, lo, inv in ((cox, world_lo[0], world_inv_span[0]),
+                                    (coy, world_lo[1], world_inv_span[1]),
+                                    (coz, world_lo[2], world_inv_span[2]))]
+            morton = ((_expand3_k(q[0]) << 2) | (_expand3_k(q[1]) << 1)
+                      | _expand3_k(q[2]))
+            mag = jnp.maximum(jnp.maximum(jnp.abs(cdx), jnp.abs(cdy)),
+                              jnp.abs(cdz))
+            mag = jnp.maximum(mag, 1e-30)
+            qd = [jnp.clip((c / mag + 1.0) * 2.0, 0.0, 3.0
+                           ).astype(jnp.int32)
+                  for c in (cdx, cdy, cdz)]
+            dirbin = (qd[0] << 4) | (qd[1] << 2) | qd[2]
+            key = (dirbin << 15) | (morton >> 6)
+            emit(jnp.where(hit, key, jnp.int32(2 ** 30)))
+        else:
+            emit(jnp.where(hit, jnp.int32(0), jnp.int32(2 ** 30)))
+
+
+def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
+                         oidx_ref, alive_ref, order_ref,
+                         ox_ref, oy_ref, oz_ref,      # shadow origin (1, RB)
+                         dx_ref, dy_ref, dz_ref,      # to-light dir (1, RB)
+                         nx_ref, ny_ref, nz_ref,      # surface normal
+                         cx_ref, cy_ref, cz_ref,      # diffuse rgb
+                         vx_ref, vy_ref, vz_ref,      # parent ray dir (view)
+                         lcol_ref,                    # SMEM (L, 4) light rgb
+                         sc_aabb_ref, seg_aabb_ref,
+                         *rest):
+    planes = rest[:9]
+    rr, rg, rb_ = rest[9:12]                 # radiance outputs
+    (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[12:21]
+    maxbest = rest[21]
+
+    RB = ox_ref.shape[1]
+    row = pl.program_id(1)
+    rows = tuple(r[pl.ds(row, 1), :]
+                 for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+    cols = tuple(r.reshape(RB, 1) for r in rows)
+    ox = cols[0]
+    tlx, tly, tlz = cols[3], cols[4], cols[5]
+
+    _traverse(t_max, True, G, S, exact_order,
+              oidx_ref, alive_ref, order_ref, cols, rows,
+              sc_aabb_ref, seg_aabb_ref, planes, (),
+              tent, mintent, mintent_sm, order_sm, sem,
+              bt, bu, bv, bi, (), maxbest)
+
+    # --- epilogue: finish_shade for this light, per lane ---
+    salive = jnp.abs(ox) < _ALIVE_LIMIT      # hit & facing, from spawn
+
+    def prow(ref):
+        return ref[pl.ds(row, 1), :].reshape(RB, 1)
+
+    blocked = (bt[:] < BIG_T) & (bt[:] > t_min) & (bt[:] < t_max)
+    nx_, ny_, nz_ = prow(nx_ref), prow(ny_ref), prow(nz_ref)
+    cr, cg, cb = prow(cx_ref), prow(cy_ref), prow(cz_ref)
+    vx, vy, vz = _norm3(prow(vx_ref), prow(vy_ref), prow(vz_ref))
+    tnx, tny, tnz = _norm3(tlx, tly, tlz)
+    dln = nx_ * tnx + ny_ * tny + nz_ * tnz
+    # reflect + unclamped even-power Phong (mod.rs:252-256, shade.pow32)
+    rx = 2.0 * dln * nx_ - tnx
+    ry = 2.0 * dln * ny_ - tny
+    rz = 2.0 * dln * nz_ - tnz
+    s = vx * rx + vy * ry + vz * rz
+    for _ in range(pow_spec):                # x^(2^pow_spec): 32 = 2^5
+        s = s * s
+    blk = pl.program_id(0) * 8 + row
+    li = blk // nbp if L > 1 else 0
+    lit = salive & ~blocked
+    for out, c, lc in ((rr, cr, lcol_ref[li, 0]),
+                       (rg, cg, lcol_ref[li, 1]),
+                       (rb_, cb, lcol_ref[li, 2])):
+        contrib = (c * dln + s) * lc
+        out[pl.ds(row, 1), :] = jnp.where(lit, contrib,
+                                          0.0).reshape(1, RB)
+
+
+def _block_meta(ox_planes, d_planes, nb, exact_order):
+    """Per-block aliveness (and dominant-direction order index when the
+    approximate walk is in use) from plane-form rays."""
+    alive = jnp.any(jnp.abs(ox_planes) < _ALIVE_LIMIT, axis=1)
+    alive = alive.astype(jnp.int32)[None, :]
+    if exact_order:
+        oidx = jnp.zeros((1, nb), jnp.int32)
+    else:
+        s = jnp.stack([jnp.sum(p, axis=1) for p in d_planes], axis=1)
+        axis = jnp.argmax(jnp.abs(s), axis=1)
+        sgn = jnp.take_along_axis(s, axis[:, None], axis=1)[:, 0]
+        oidx = (axis * 2 + (sgn < 0.0)).astype(jnp.int32)[None, :]
+    return oidx, alive
+
+
+def _plane_spec(RB):
+    # Mosaic requires sublane-dim blocks divisible by 8: fetch the 8
+    # block-rows of grid step i and let the kernel slice its row j.
+    return pl.BlockSpec((8, RB), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _common_scratch(K1, RB, n_rec):
+    return ([pltpu.VMEM((K1, RB), jnp.float32),
+             pltpu.VMEM((K1, 1), jnp.float32),
+             pltpu.SMEM((K1, 1), jnp.float32),
+             pltpu.SMEM((K1, 1), jnp.int32),
+             pltpu.SemaphoreType.DMA(())]
+            + [pltpu.VMEM((RB, 1), jnp.float32)] * 3
+            + [pltpu.VMEM((RB, 1), jnp.int32)]
+            + [pltpu.VMEM((RB, 1), jnp.float32)] * n_rec
+            + [pltpu.SMEM((1, 1), jnp.float32)])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "group", "exact_order", "n_lights", "children", "emit_uv",
+    "key_mode", "ray_block", "world_lo", "world_inv_span"))
+def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
+                     v0, e1, e2, seg_aabb, sc_aabb, orders, rec_planes,
+                     world_lo=(0.0, 0.0, 0.0), world_inv_span=(1., 1., 1.),
+                     interpret=False, group=8, exact_order=None,
+                     n_lights=1, children=0, emit_uv=False, key_mode="dir6",
+                     ray_block=DEFAULT_RAY_BLOCK):
+    """Fused closest-hit + spawn: plane-form rays in, per-ray closest t,
+    shading record, per-light shadow rays, and per-child bounce rays +
+    sort keys out (all (nb, RB) planes).  See module comment."""
+    nb, RB = o_planes[0].shape
+    NL, C, _ = v0.shape
+    K1 = sc_aabb.shape[0]
+    S = seg_aabb.shape[0] // NL
+    b = children
+    L = n_lights
+    n_rec = len(rec_planes)
+    assert nb % 8 == 0
+    if exact_order is None:
+        exact_order = K1 <= 64
+    world_lo = tuple(float(x) for x in np.asarray(world_lo))
+    world_inv_span = tuple(float(x) for x in np.asarray(world_inv_span))
+    oidx, alive = _block_meta(o_planes[0], d_planes, nb, exact_order)
+    planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
+    tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    pspec = _plane_spec(RB)
+    blk_scalar_spec = pl.BlockSpec((1, nb), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    lp = jnp.zeros((L, 4), jnp.float32).at[:, 0:3].set(light_pos)
+
+    n_out = 1 + (2 if emit_uv else 0) + n_rec + 6 * L + 7 * b
+    out_shapes = []
+    out_dtypes = ([jnp.float32] * (1 + (2 if emit_uv else 0) + n_rec)
+                  + [jnp.float32] * (6 * L)
+                  + ([jnp.float32] * 6 + [jnp.int32]) * b)
+    for dt in out_dtypes:
+        out_shapes.append(jax.ShapeDtypeStruct((nb, RB), dt))
+    out_spec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_spawn_kernel, float(BIG_T), group, S,
+                               exact_order, n_rec, L, b, emit_uv, key_mode,
+                               world_lo, world_inv_span)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb // 8, 8),
+        in_specs=[blk_scalar_spec, blk_scalar_spec,
+                  pl.BlockSpec((6, K1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pspec] * 6
+        + [pl.BlockSpec((L, 4), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [tri_spec] * 9 + [pspec] * (3 * b) + [tri_spec] * n_rec,
+        out_specs=tuple([out_spec] * n_out),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=_common_scratch(K1, RB, n_rec),
+        interpret=interpret,
+    )(oidx, alive, orders, *o_planes, *d_planes, lp, sc_aabb, seg_aabb,
+      *planes, *gauss_planes, *rec_planes)
+
+    res = dict(t=outs[0])
+    k = 1
+    if emit_uv:
+        res["u"], res["v"] = outs[k], outs[k + 1]
+        k += 2
+    res["rec"] = outs[k:k + n_rec]
+    k += n_rec
+    res["shadow"] = [outs[k + 6 * li:k + 6 * (li + 1)] for li in range(L)]
+    k += 6 * L
+    res["children"] = [outs[k + 7 * j:k + 7 * (j + 1)] for j in range(b)]
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "group", "exact_order", "n_lights", "t_min", "t_max",
+    "ray_block"))
+def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
+                            view_planes, light_color,
+                            v0, e1, e2, seg_aabb, sc_aabb, orders,
+                            interpret=False, group=8, exact_order=None,
+                            n_lights=1, t_min=0.01, t_max=1.0,
+                            ray_block=DEFAULT_RAY_BLOCK):
+    """Fused occlusion + Phong radiance for a light-major shadow batch:
+    so/sd are (L*nbp, RB) planes; n/c/view are the parent-level planes
+    (nbp, RB), indexed per light chunk.  Returns 3 radiance planes
+    (L*nbp, RB) — sum over the L chunks for the level's radiance."""
+    nbs, RB = so_planes[0].shape
+    L = n_lights
+    nbp = nbs // L
+    assert nbs == nbp * L and nbs % 8 == 0
+    NL, C, _ = v0.shape
+    K1 = sc_aabb.shape[0]
+    S = seg_aabb.shape[0] // NL
+    if exact_order is None:
+        exact_order = K1 <= 64
+    oidx, alive = _block_meta(so_planes[0], sd_planes, nbs, exact_order)
+    planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
+    tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    pspec = _plane_spec(RB)
+    parent_spec = pl.BlockSpec((8, RB), lambda i, j: (i % (nbp // 8), 0),
+                               memory_space=pltpu.VMEM)
+    blk_scalar_spec = pl.BlockSpec((1, nbs), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    lc = jnp.zeros((L, 4), jnp.float32).at[:, 0:3].set(light_color)
+
+    kernel = functools.partial(_shadow_shade_kernel, float(t_min),
+                               float(t_max), group, S, exact_order, L, nbp,
+                               5)                        # 2^5 = pow32
+    out_spec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rr, rg, rb_ = pl.pallas_call(
+        kernel,
+        grid=(nbs // 8, 8),
+        in_specs=[blk_scalar_spec, blk_scalar_spec,
+                  pl.BlockSpec((6, K1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pspec] * 6 + [parent_spec] * 9
+        + [pl.BlockSpec((L, 4), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [tri_spec] * 9,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((nbs, RB), jnp.float32)
+                        for _ in range(3)),
+        scratch_shapes=_common_scratch(K1, RB, 0),
+        interpret=interpret,
+    )(oidx, alive, orders, *so_planes, *sd_planes,
+      *n_planes, *c_planes, *view_planes, lc, sc_aabb, seg_aabb, *planes)
+    return rr, rg, rb_

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from raytracer_tpu.core.wavefront import trace_radiance
+from raytracer_tpu.core.wavefront import (trace_radiance,
+                                          trace_radiance_fused)
 from raytracer_tpu.models.camera import generate_rays
 from raytracer_tpu.parallel.mesh import RAY_AXIS
 
@@ -74,6 +75,7 @@ def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
                             recursions: int = 2, spread: int = 1,
                             shade_records=None, has_textures: bool = True,
                             fused_shade: bool = False,
+                            fused_spawn: bool = False,
                             sort_key_mode: str = "dir6"):
     """Whole-frame multi-spp render with pixels sharded over the mesh:
     the spp loop and film-moment accumulation run ON DEVICE (one dispatch
@@ -95,12 +97,17 @@ def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
             kj, kt = jax.random.split(k)
             jitter = jax.random.uniform(kj, (r, 2), dtype=jnp.float32)
             origins, dirs = generate_rays(cam, px, py, jitter, width, height)
-            rad = trace_radiance(scene, origins, dirs, kt, intersector,
-                                 recursions, spread,
-                                 shade_records=shade_records,
-                                 has_textures=has_textures,
-                                 fused_shade=fused_shade,
-                                 sort_key_mode=sort_key_mode)
+            if fused_spawn:
+                rad = trace_radiance_fused(scene, origins, dirs, kt,
+                                           intersector, recursions, spread,
+                                           sort_key_mode=sort_key_mode)
+            else:
+                rad = trace_radiance(scene, origins, dirs, kt, intersector,
+                                     recursions, spread,
+                                     shade_records=shade_records,
+                                     has_textures=has_textures,
+                                     fused_shade=fused_shade,
+                                     sort_key_mode=sort_key_mode)
             return (psum + rad, psq + rad * rad, key)
 
         init = (jnp.zeros((r, 3), jnp.float32),

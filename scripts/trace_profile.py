@@ -97,6 +97,14 @@ def report():
 
 
 if __name__ == "__main__":
-    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    capture(spp)
-    report()
+    # args: [spp] | capture [spp] | report   (split so the slow tunnel
+    # compile and the fast proto parse can run as separate jobs)
+    args = sys.argv[1:]
+    if args and args[0] == "report":
+        report()
+    elif args and args[0] == "capture":
+        capture(int(args[1]) if len(args) > 1 else 1)
+    else:
+        spp = int(args[0]) if args else 1
+        capture(spp)
+        report()
