@@ -87,7 +87,7 @@ def _traverse(limit, shadow, G, S, exact_order,
               cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
-              bt, bu, bv, bi, rec_acc, maxbest):
+              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=None):
     """The shared two-level walk: initializes the per-ray accumulators
     (bt/bu/bv/bi/rec_acc, maxbest) and runs the gated supercluster ->
     segment-row -> Möller–Trumbore traversal for one ray block.
@@ -95,7 +95,14 @@ def _traverse(limit, shadow, G, S, exact_order,
     cols: (ox, oy, oz, dx, dy, dz) as (RB, 1) columns;
     rows: the same six as (1, RB) rows (the caller owns the layout).
     Callers read the results out of the accumulator scratch and write
-    their own outputs / epilogues."""
+    their own outputs / epilogues.
+
+    stream_bufs: optional ([9 x VMEM (G, C) scratch], DMA sem) — HBM
+    streaming mode: `planes` then live in ANY/HBM (any scene size) and
+    each visited supercluster's G triangle-plane rows are DMA'd into
+    the scratch on demand, the copies overlapping the segment slab
+    phase (reference streams any-size scenes from RAM,
+    oct_tree_intersector.rs:66-146)."""
     (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = planes
     ox, oy, oz, dx, dy, dz = cols
     oxr, oyr, ozr, dxr, dyr, dzr = rows
@@ -176,18 +183,18 @@ def _traverse(limit, shadow, G, S, exact_order,
                 return 0
             jax.lax.fori_loop(1, K1, ins, 0)
 
-        def mt_row(leaf):
+        def mt_row(leaf, local):
             """Möller–Trumbore of the whole block against packed row
-            `leaf` (a traced index)."""
-            av0x = v0x[pl.ds(leaf, 1), :]                # (1, C)
-            av0y = v0y[pl.ds(leaf, 1), :]
-            av0z = v0z[pl.ds(leaf, 1), :]
-            ae1x = e1x[pl.ds(leaf, 1), :]
-            ae1y = e1y[pl.ds(leaf, 1), :]
-            ae1z = e1z[pl.ds(leaf, 1), :]
-            ae2x = e2x[pl.ds(leaf, 1), :]
-            ae2y = e2y[pl.ds(leaf, 1), :]
-            ae2z = e2z[pl.ds(leaf, 1), :]
+            `leaf` (a traced global index; `local` is its row within
+            the current supercluster, used by the streaming scratch)."""
+            if stream_bufs is not None:
+                srcs = [b[pl.ds(local, 1), :] for b in stream_bufs[0]]
+            else:
+                srcs = [pln[pl.ds(leaf, 1), :]
+                        for pln in (v0x, v0y, v0z, e1x, e1y, e1z,
+                                    e2x, e2y, e2z)]
+            (av0x, av0y, av0z, ae1x, ae1y, ae1z,
+             ae2x, ae2y, ae2z) = srcs                    # (1, C) each
 
             # (RB,1) ray x (1,C) triangle -> (RB,C)
             px = dy * ae2z - dz * ae2y
@@ -233,6 +240,16 @@ def _traverse(limit, shadow, G, S, exact_order,
                 jnp.float32(limit))
 
         def visit(kk):
+            if stream_bufs is not None:
+                # stream this supercluster's triangle rows HBM -> VMEM,
+                # overlapping the DMA with the slab/gate phase below
+                bufs, tsem = stream_bufs
+                cps = [pltpu.make_async_copy(
+                           pln.at[pl.ds(kk * G, G), :], buf, tsem)
+                       for pln, buf in zip((v0x, v0y, v0z, e1x, e1y, e1z,
+                                            e2x, e2y, e2z), bufs)]
+                for cp in cps:
+                    cp.start()
             # --- segment-level slab test: one (G*S, RB) vector op ---
             sb = seg_aabb_ref[pl.ds(kk * (G * S), G * S), :]   # (G*S, 8)
             sminx, sminy, sminz = sb[:, 0:1], sb[:, 1:2], sb[:, 2:3]
@@ -270,10 +287,13 @@ def _traverse(limit, shadow, G, S, exact_order,
                 ls[i], ls[j] = (jnp.where(swap, ls[j], ls[i]),
                                 jnp.where(swap, ls[i], ls[j]))
 
+            if stream_bufs is not None:
+                for cp in cps:
+                    cp.wait()
             for r in range(G):
                 @pl.when(ms[r] < maxbest[0, 0])
                 def _(r=r):
-                    mt_row(kk * G + ls[r])
+                    mt_row(kk * G + ls[r], ls[r])
 
         if exact_order:
             # walk in exact ascending entry order; the first gate failure
@@ -299,7 +319,7 @@ def _traverse(limit, shadow, G, S, exact_order,
             jax.lax.fori_loop(0, K1, body, 0)
 
 
-def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
+def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec, stream,
                 oidx_ref,                     # SMEM (1, nb) int32
                 alive_ref,                    # SMEM (1, nb) int32
                 order_ref,                    # SMEM (6, K1) int32
@@ -317,7 +337,9 @@ def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
     k += 4 + n_rec
     (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[k:k + 9]
     rec_acc = rest[k + 9:k + 9 + n_rec]       # scratch (RB, 1) f32 each
-    maxbest = rest[k + 9 + n_rec]             # scratch SMEM (1, 1) f32
+    k += 9 + n_rec
+    maxbest = rest[k]                         # scratch SMEM (1, 1) f32
+    stream_bufs = (rest[k + 1:k + 10], rest[k + 10]) if stream else None
 
     RB = o_ref.shape[0]
     row = pl.program_id(1)
@@ -333,7 +355,7 @@ def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
               oidx_ref, alive_ref, order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
-              bt, bu, bv, bi, rec_acc, maxbest)
+              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs)
 
     t_out[pl.ds(row, 1), :] = bt[:].reshape(1, RB)
     if not shadow:
@@ -346,12 +368,12 @@ def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t_limit", "shadow",
                                              "ray_block", "group",
-                                             "exact_order"))
+                                             "exact_order", "stream"))
 def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
                        rec_planes=(),
                        interpret=False, t_limit=None, shadow=False,
                        ray_block=DEFAULT_RAY_BLOCK, group=8,
-                       exact_order=None):
+                       exact_order=None, stream=False):
     """origins/dirs: (R, 3) with R a multiple of 8*ray_block.
     v0/e1/e2: (NL, C, 3) packed triangle SoA; seg_aabb: (NL*S, 8) with
     S segments per row; sc_aabb: (K1, 8) with NL = K1*group;
@@ -377,8 +399,14 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
     assert R % RB == 0
     limit = float(t_limit) if t_limit is not None else float(BIG_T)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
-    tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
-                            memory_space=pltpu.VMEM)
+    if stream:
+        # HBM-resident triangle store: whole planes stay in ANY/HBM and
+        # stream per visited supercluster (any scene size; the VMEM
+        # footprint is 9 (G, C) buffers instead of 9 (NL, C) planes)
+        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
 
     nb = R // RB
     assert nb % 8 == 0
@@ -406,8 +434,9 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         exact_order = K1 <= 64
     rec_planes = tuple(rec_planes) if not shadow else ()
     n_rec = len(rec_planes)
+    assert not (stream and n_rec), "streaming mode has no record planes"
     kernel = functools.partial(_bvh_kernel, limit, shadow, group, S,
-                               exact_order, n_rec)
+                               exact_order, n_rec, stream)
 
     # shadow mode leaves the u/v/idx outputs unwritten (their buffers are
     # allocated but never read back)
@@ -439,7 +468,9 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         + [pltpu.VMEM((RB, 1), jnp.float32)] * 3
         + [pltpu.VMEM((RB, 1), jnp.int32)]
         + [pltpu.VMEM((RB, 1), jnp.float32)] * n_rec
-        + [pltpu.SMEM((1, 1), jnp.float32)],
+        + [pltpu.SMEM((1, 1), jnp.float32)]
+        + ([pltpu.VMEM((group, C), jnp.float32)] * 9
+           + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
     )(oidx, alive, orders, origins, dirs, sc_aabb, seg_aabb, *planes,
       *rec_planes)
@@ -460,7 +491,8 @@ class BVHIntersector:
                  group: int = 8, seg: int = 4,
                  ray_block: int = DEFAULT_RAY_BLOCK,
                  use_pallas: bool | None = None,
-                 exact_order: bool | None = None):
+                 exact_order: bool | None = None,
+                 stream: bool = False):
         bvh = build_bvh2(np.asarray(scene_buffers.tri_verts),
                          triangles_per_leaf=triangles_per_leaf, group=group,
                          seg=seg)
@@ -489,6 +521,9 @@ class BVHIntersector:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.exact_order = exact_order
+        # HBM-resident triangle store: stream supercluster rows on
+        # demand instead of holding all planes in VMEM (any scene size)
+        self.stream = stream
         # optional fused-shade record planes (set_shade_records): each
         # (NL, C) f32, extracted in-kernel for the forward fast path
         self.shade_planes = None
@@ -505,13 +540,15 @@ class BVHIntersector:
 
     @property
     def supports_fused_shade(self):
-        return self.use_pallas and self.shade_planes is not None
+        return (self.use_pallas and not self.stream
+                and self.shade_planes is not None)
 
     @property
     def supports_fused_spawn(self):
         """Whole-level fusion (pallas_bvh_spawn/shadow_shade) is wired
         for texture-free scenes: 6 record planes (normal + diffuse)."""
-        return (self.use_pallas and self.shade_planes is not None
+        return (self.use_pallas and not self.stream
+                and self.shade_planes is not None
                 and len(self.shade_planes) == 6)
 
     def spawn(self, o_planes, d_planes, gauss_planes, light_pos,
@@ -577,7 +614,7 @@ class BVHIntersector:
                 self.sc_aabb, self.orders, rec_planes=planes,
                 t_limit=t_limit,
                 ray_block=self.ray_block, group=self.group,
-                exact_order=self.exact_order)
+                exact_order=self.exact_order, stream=self.stream)
             t, u, v, i = t[:R], u[:R], v[:R], i[:R]
             if emit_shade:
                 rec = jnp.stack([r[:R] for r in recs], axis=1)   # (R, n)
@@ -607,7 +644,7 @@ class BVHIntersector:
                 origins, dirs, self.v0, self.e1, self.e2, self.seg_aabb,
                 self.sc_aabb, self.orders, t_limit=t_max, shadow=True,
                 ray_block=self.ray_block, group=self.group,
-                exact_order=self.exact_order)[:R]
+                exact_order=self.exact_order, stream=self.stream)[:R]
         else:
             t, _, _, _ = xla_cluster_closest(
                 origins, dirs, self.v0, self.e1, self.e2,
@@ -678,7 +715,6 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
     rows = tuple(r[pl.ds(row, 1), :]
                  for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
     cols = tuple(r.reshape(RB, 1) for r in rows)
-    ox, oy, oz, dx, dy, dz = cols
 
     _traverse(limit, False, G, S, exact_order,
               oidx_ref, alive_ref, order_ref, cols, rows,
@@ -686,6 +722,10 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, rec_acc, maxbest)
 
+    ox, oy, oz, dx, dy, dz = cols
+    # measured: the spawn epilogue is FASTER in (RB, 1) column
+    # form than (1, RB) rows (294 vs 234 ms/frame) — unlike the
+    # shadow-shade epilogue, which is row-form; see DESIGN.md §6
     # --- epilogue: everything the next stage needs, from (RB, 1) cols ---
     alive_row = jnp.abs(ox) < _ALIVE_LIMIT
     hit = (bt[:] < BIG_T) & alive_row
@@ -789,8 +829,6 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
     rows = tuple(r[pl.ds(row, 1), :]
                  for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
     cols = tuple(r.reshape(RB, 1) for r in rows)
-    ox = cols[0]
-    tlx, tly, tlz = cols[3], cols[4], cols[5]
 
     _traverse(t_max, True, G, S, exact_order,
               oidx_ref, alive_ref, order_ref, cols, rows,
@@ -798,17 +836,21 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, (), maxbest)
 
-    # --- epilogue: finish_shade for this light, per lane ---
-    salive = jnp.abs(ox) < _ALIVE_LIMIT      # hit & facing, from spawn
+    # --- epilogue: finish_shade for this light, in (1, RB) ROW form
+    # (column ops waste 127/128 VPU lanes; see _spawn_kernel) ---
+    oxr = rows[0]
+    tlxr, tlyr, tlzr = rows[3], rows[4], rows[5]
+    salive = jnp.abs(oxr) < _ALIVE_LIMIT     # hit & facing, from spawn
 
     def prow(ref):
-        return ref[pl.ds(row, 1), :].reshape(RB, 1)
+        return ref[pl.ds(row, 1), :]
 
-    blocked = (bt[:] < BIG_T) & (bt[:] > t_min) & (bt[:] < t_max)
+    btr = bt[:].reshape(1, RB)
+    blocked = (btr < BIG_T) & (btr > t_min) & (btr < t_max)
     nx_, ny_, nz_ = prow(nx_ref), prow(ny_ref), prow(nz_ref)
     cr, cg, cb = prow(cx_ref), prow(cy_ref), prow(cz_ref)
     vx, vy, vz = _norm3(prow(vx_ref), prow(vy_ref), prow(vz_ref))
-    tnx, tny, tnz = _norm3(tlx, tly, tlz)
+    tnx, tny, tnz = _norm3(tlxr, tlyr, tlzr)
     dln = nx_ * tnx + ny_ * tny + nz_ * tnz
     # reflect + unclamped even-power Phong (mod.rs:252-256, shade.pow32)
     rx = 2.0 * dln * nx_ - tnx
@@ -824,8 +866,7 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
                        (rg, cg, lcol_ref[li, 1]),
                        (rb_, cb, lcol_ref[li, 2])):
         contrib = (c * dln + s) * lc
-        out[pl.ds(row, 1), :] = jnp.where(lit, contrib,
-                                          0.0).reshape(1, RB)
+        out[pl.ds(row, 1), :] = jnp.where(lit, contrib, 0.0)
 
 
 def _block_meta(ox_planes, d_planes, nb, exact_order):

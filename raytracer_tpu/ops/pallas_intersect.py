@@ -31,8 +31,12 @@ brute-force oracle (the reference's NoAccelerationIntersector pattern).
 
 VMEM budget: the triangle SoA planes cost 36 B/triangle padded plus a
 (K x 128) entry-distance scratch, so scenes up to ~300k triangles fit
-alongside ray blocks; larger scenes need the planned HBM-resident
-triangle store with double-buffered cluster DMA.
+alongside ray blocks.  Larger scenes use the BVH kernel's HBM-resident
+streaming mode (ops/pallas_bvh.py, BVHIntersector(stream=True)): planes
+stay in ANY/HBM and each visited supercluster's rows are DMA'd into a
+small VMEM scratch, overlapped with the slab phase — tested past the
+ceiling on a synthetic 400k-triangle scene
+(tests/test_pallas_bvh.py::test_bvh_streaming_beyond_vmem_ceiling).
 """
 
 from __future__ import annotations

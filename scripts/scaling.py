@@ -6,6 +6,12 @@ default) or a fixed total frame (strong scaling) on meshes of
 {1,2,4,...} devices and reporting rays/s, rays/s/device, and efficiency
 relative to the 1-device run.
 
+Weak mode holds each device's shard CONSTANT across mesh sizes: the
+frame geometry is fixed at the largest size, and a mesh of n devices
+renders exactly the first n row-major shards of it — device k always
+renders shard k, so adding devices adds work without changing any
+device's content (no framing confound; round-3 review item).
+
 Generalizes the reference's row-cursor decomposition of the pixel
 domain (reference: raytracer_lib/src/raytracer/mod.rs:87-115) to a
 device mesh: pixels shard over the `rays` axis, the scene replicates,
@@ -71,27 +77,30 @@ def main():
     n_avail = len(jax.devices())
     sizes = args.sizes or [s for s in (1, 2, 4, 8, 16, 32) if s <= n_avail]
 
-    # square-ish frame sized to the largest mesh; strong mode renders
-    # this same frame at every size, weak mode scales it per device
-    def frame_dims(n_dev):
-        total = args.pixels_per_device * (n_dev if args.mode == "weak"
-                                          else max(sizes))
-        w = 1 << (math.ceil(math.log2(math.sqrt(total))))
-        h = total // w
-        return w, max(h, 1)
+    # one fixed frame sized to the largest mesh; strong mode renders all
+    # of it at every size, weak mode renders its first n shards
+    total = args.pixels_per_device * max(sizes)
+    W = 1 << (math.ceil(math.log2(math.sqrt(total))))
+    H = max(total // W, 1)
+
+    rt = rtx.create_raytracer_from_file(args.scene, width=W, height=H,
+                                        accel=args.accel,
+                                        recursions=args.recursions)
+    records, has_tex, fused = rt._shade_fast_args()
+    fused_spawn = bool(getattr(rt.intersector, "supports_fused_spawn",
+                               False))
 
     rows = []
     for n in sizes:
-        W, H = frame_dims(n)
-        rt = rtx.create_raytracer_from_file(args.scene, width=W, height=H,
-                                            accel=args.accel,
-                                            recursions=args.recursions)
         mesh = make_mesh(n)
-        records, has_tex = rt._shade_fast_args()
         frame = make_sharded_frame_loop(
             mesh, rt.intersector, W, H, rt.recursions, rt.spread,
-            shade_records=records, has_textures=has_tex)
+            shade_records=records, has_textures=has_tex,
+            fused_shade=fused, fused_spawn=fused_spawn)
         px, py, real = pixel_grid(W, H, pad_to=n)
+        if args.mode == "weak":
+            real = args.pixels_per_device * n
+            px, py = px[:real], py[:real]
         pxj, pyj = jnp.asarray(px), jnp.asarray(py)
         spp = jnp.int32(args.spp)
 

@@ -82,14 +82,13 @@ def report():
                 agg[kind] += ev.duration_ps
                 cnt[kind] += 1
                 tot += ev.duration_ps
-                if kind == "pallas_bvh_closest":
+                if kind.startswith("pallas_bvh"):
                     shp = re.search(r"f32\[(\d+),(\d+)\]", name)
-                    pallas.append((ev.duration_ps / 1e9,
+                    pallas.append((kind, ev.duration_ps / 1e9,
                                    shp.group(0) if shp else "?"))
-            print("== per pallas kernel (call order: L0c L0s L1c L1s L2c L2s"
-                  " per spp iter) ==")
-            for ms, shp in pallas:
-                print(f"  {ms:8.2f} ms  {shp}")
+            print("== per pallas kernel (call order per spp iter) ==")
+            for kind, ms, shp in pallas:
+                print(f"  {ms:8.2f} ms  {kind:24s} {shp}")
             print("== serialized XLA op-kind totals ==")
             for kind, ps in agg.most_common(18):
                 print(f"{ps/1e9:9.2f} ms  x{cnt[kind]:5d}  {kind}")

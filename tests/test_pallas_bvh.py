@@ -245,3 +245,58 @@ def test_bvh_intersector_end_to_end_interpret():
                                   np.asarray(brute["tri"])[sel])
     want_sh = bhit & (bt > 0.01) & (bt < 1.0) & alive
     np.testing.assert_array_equal(np.asarray(sh), want_sh)
+
+
+def test_bvh_streaming_matches_resident():
+    """HBM-streaming mode (stream=True: triangle planes in ANY/HBM,
+    per-supercluster DMA) must return exactly what the VMEM-resident
+    kernel returns."""
+    tris = random_scene(3000, seed=31)
+    o, d = random_rays(1024, seed=32)
+    bvh, args = build(tris, tpl=128)
+    t0, u0, v0_, i0 = run_kernel(o, d, args)
+    t1, u1, v1, i1 = run_kernel(o, d, args, stream=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    ts = np.asarray(run_kernel(o, d, args, t_limit=1.0, shadow=True,
+                               stream=True))
+    tr = np.asarray(run_kernel(o, d, args, t_limit=1.0, shadow=True))
+    np.testing.assert_array_equal(ts, tr)
+
+
+def test_bvh_streaming_beyond_vmem_ceiling():
+    """A synthetic scene larger than the ~300k-triangle VMEM-resident
+    ceiling (ops/pallas_intersect.py budget note): 400k triangles only
+    render in streaming mode; correctness vs brute on a ray subset.
+
+    The scene is a 2-D field of small floor tiles; rays shoot straight
+    down from above, so the exact-order walk visits O(1) superclusters
+    per block and interpret mode stays fast."""
+    n = 400_000
+    rng = np.random.default_rng(33)
+    side = int(np.sqrt(n)) + 1
+    ij = np.arange(n)
+    cx = (ij % side).astype(np.float32)
+    cy = (ij // side).astype(np.float32)
+    tris = np.zeros((n, 3, 3), np.float32)
+    tris[:, 0] = np.stack([cx, cy, np.zeros_like(cx)], 1)
+    tris[:, 1] = np.stack([cx + 0.9, cy, np.zeros_like(cx)], 1)
+    tris[:, 2] = np.stack([cx, cy + 0.9, np.zeros_like(cx)], 1)
+    bvh, args = build(tris, tpl=128)
+    r = 256
+    o = np.stack([rng.uniform(0, side, r), rng.uniform(0, side / 2, r),
+                  np.full(r, 5.0)], 1).astype(np.float32)
+    d = np.tile(np.array([[0.001, 0.002, -1.0]], np.float32), (r, 1))
+    o = np.concatenate([o, np.full((1024 - r, 3), DEAD_ORIGIN, np.float32)])
+    d = np.concatenate([d, np.ones((1024 - r, 3), np.float32)])
+    t, u, v, i = run_kernel(o, d, args, stream=True)
+    brute = closest_hit(jnp.asarray(o[:r]), jnp.asarray(d[:r]),
+                        jnp.asarray(tris), chunk=4096)
+    bt, bhit = np.asarray(brute["t"]), np.asarray(brute["hit"])
+    t = np.asarray(t)[:r]
+    np.testing.assert_array_equal(t < BIG_T, bhit)
+    sel = bhit
+    np.testing.assert_allclose(t[sel], bt[sel], rtol=1e-5)
+    np.testing.assert_array_equal(bvh.perm[np.asarray(i)[:r][sel]],
+                                  np.asarray(brute["tri"])[sel])
