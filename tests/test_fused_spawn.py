@@ -70,3 +70,50 @@ def test_fused_spawn_direct_lighting_exact(data_dir):
         got = np.asarray(trace_radiance_fused(scene, o, d, kt, isect,
                                               recursions=0, spread=1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_spawn_two_lights(data_dir):
+    """The fused path's multi-light machinery — L shadow-ray sets from
+    the spawn epilogue, the light-major shadow batch with per-chunk
+    parent-plane indexing and per-block light colors, and the radiance
+    sum over chunks — against the composable brute pipeline on a scene
+    with a second synthetic light."""
+    import dataclasses
+
+    scene, o, d, kt, isect = _setup(data_dir)
+    lp = np.asarray(scene.light_pos)
+    lc = np.asarray(scene.light_color)
+    lp2 = np.concatenate([lp, lp * np.array([[-1.0, 1.0, 1.0]])])
+    lc2 = np.concatenate([lc, lc * 0.35])
+    scene2 = dataclasses.replace(scene, light_pos=jnp.asarray(lp2),
+                                 light_color=jnp.asarray(lc2))
+    want = np.asarray(trace_radiance(scene2, o, d, kt,
+                                     BruteForceIntersector(),
+                                     recursions=1, spread=1))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(trace_radiance_fused(scene2, o, d, kt, isect,
+                                              recursions=1, spread=1))
+    close = np.isclose(got, want, rtol=2e-4, atol=2e-5)
+    assert close.mean() > 0.99, f"{(~close).sum()} of {close.size} mismatch"
+    np.testing.assert_allclose(got.mean(axis=0), want.mean(axis=0),
+                               rtol=5e-3)
+
+
+def test_fused_shade_textured_scene_engine(data_dir):
+    """Textured scenes can't use whole-level fusion (no texel lookup in
+    the kernel) and must fall back to the in-kernel record epilogue +
+    XLA texel fetch (fused_shade).  Engine-level: the Pallas path on
+    ico3_tex vs brute with the same seed."""
+    kw = dict(width=24, height=16, recursions=1, seed=5)
+    rtp = create_raytracer_from_file(str(data_dir / "ico3_tex.dae"),
+                                     accel="bvh",
+                                     accel_opts=dict(use_pallas=True), **kw)
+    rtb = create_raytracer_from_file(str(data_dir / "ico3_tex.dae"),
+                                     accel="brute", **kw)
+    assert rtp.intersector.supports_fused_shade
+    assert not rtp.intersector.supports_fused_spawn   # 7 rec planes (tex)
+    with pltpu.force_tpu_interpret_mode():
+        img_p = np.asarray(rtp.render(1))
+    img_b = np.asarray(rtb.render(1))
+    close = np.isclose(img_p, img_b, rtol=2e-4, atol=2e-5)
+    assert close.mean() > 0.99, f"{(~close).sum()} of {close.size} mismatch"
