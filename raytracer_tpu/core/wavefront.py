@@ -424,7 +424,12 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                     gmat = jnp.concatenate(
                         [gmat, jnp.zeros(((n_rays - n_real) * b, 3 * b_next),
                                          jnp.float32)])
-                gmat = gmat[orig]
+                if perm_total is not None:
+                    # children are in their (sorted) parents' order; map
+                    # the canonical draws through.  At level 0 `orig` is
+                    # the identity — skip the (N, 3b) gather (XLA does
+                    # not elide iota-indexed gathers; ~10 ms/frame)
+                    gmat = gmat[orig]
                 extra = [gmat[:, c] for c in range(3 * b_next)]
 
             sorted_cols = jax.lax.sort(
