@@ -403,7 +403,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         # HBM-resident triangle store: whole planes stay in ANY/HBM and
         # stream per visited supercluster (any scene size; the VMEM
         # footprint is 9 (G, C) buffers instead of 9 (NL, C) planes)
-        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)

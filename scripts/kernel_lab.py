@@ -4,15 +4,13 @@ Measures the primitive costs that bound any block-walk design on this
 chip, plus live visit/MT counters on the production kernel, so kernel
 redesigns are driven by data instead of guesses:
 
-  mt N            — Möller–Trumbore of a 128-ray block against N leaves
-                    of C triangles, no gating (pure vector throughput)
-  mtsub N SG      — same total work issued as (SG, C) subgroup slices
-  walk            — the production kernel's full walk machinery with the
-                    MT body removed (fixed + per-visit overhead)
-  counters        — per-block supercluster visits and leaf MTs of the
+  mt              — Möller–Trumbore of a 128-ray block against N rows
+                    of C triangles at full and sub-block (SG, C) issue
+                    widths, no gating (pure vector throughput)
+  counters        — per-block supercluster visits and row MTs of the
                     production kernel on real thai2 L0/L1 ray mixes
 
-Usage: python scripts/kernel_lab.py [mt|walk|counters|all]
+Usage: python scripts/kernel_lab.py [mt|counters|all]
 """
 import functools
 import os
