@@ -32,7 +32,8 @@ SCENE = os.environ.get("BENCH_SCENE", "data/thai2.dae")
 ACCEL = os.environ.get("BENCH_ACCEL", "bvh")
 TPL = int(os.environ.get("BENCH_TPL", 256))
 ACCEL_OPTS = {k: int(os.environ[e]) for k, e in
-              (("seg", "BENCH_SEG"), ("group", "BENCH_GROUP"))
+              (("seg", "BENCH_SEG"), ("group", "BENCH_GROUP"),
+               ("ray_block", "BENCH_RB"))
               if os.environ.get(e)} if ACCEL == "bvh" else {}
 SORTKEY = os.environ.get("BENCH_SORTKEY", "dir6")
 TARGET_MRAYS = 100.0
