@@ -55,6 +55,11 @@ HIT_OFFSET = 1e-5
 SHADOW_T_MIN = 0.01
 SHADOW_T_MAX = 1.0
 
+# |origin| above this marks a dead-lane sentinel ray (matches
+# ops.pallas_intersect._ALIVE_LIMIT without importing the Pallas module
+# into the backend-agnostic wavefront).
+_ALIVE_SORT_LIMIT = 1.0e30
+
 
 def _shadow(isect, scene, ctx, shadow_alive):
     """Occlusion for a level's shadow batch (windowed closest,
@@ -446,6 +451,3 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
 
     radiance = jnp.stack(rad_acc, axis=1)
     return radiance[:R0]
-
-
-_ALIVE_SORT_LIMIT = 1.0e30
