@@ -63,17 +63,42 @@ def main():
                 raise
             time.sleep(5)
 
-    # best-of-N: one render() is a single device dispatch, but wall
-    # time through the remote-TPU tunnel jitters by hundreds of ms, so
-    # a single sample swings the headline by ~25% (observed round 4).
-    # The minimum over a few reps is the stable device-bound number.
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    # Repeat-until-stable min: one render() is a single device dispatch,
+    # but wall time through the remote-TPU tunnel jitters by hundreds of
+    # ms and occasionally DOUBLES (round 4's driver capture recorded
+    # 1.27 Mrays/s for a run that reproduces at 2.5).  Keep sampling
+    # until two consecutive reps land within 10% of the running min
+    # (>= BENCH_REPS reps, <= BENCH_REPS_MAX), so one slow capture
+    # can't set the scoreboard.
+    reps_min = int(os.environ.get("BENCH_REPS", 3))
+    reps_max = int(os.environ.get("BENCH_REPS_MAX", 10))
+    times = []
     dt = float("inf")
-    for _ in range(reps):
+    stable = 0
+    while len(times) < reps_max:
         t0 = time.perf_counter()
         rt.render(SPP)
         jax.block_until_ready(rt.film.pixel_sum)
-        dt = min(dt, time.perf_counter() - t0)
+        ti = time.perf_counter() - t0
+        times.append(ti)
+        dt = min(dt, ti)
+        stable = stable + 1 if ti <= 1.10 * dt else 0
+        if len(times) >= reps_min and stable >= 2:
+            break
+
+    # Device-time estimate: two renders dispatched back-to-back share
+    # one tunnel round-trip, so (pair time) - (best single) isolates
+    # roughly one render's pure device time.  A best-single far above
+    # this estimate means the capture was tunnel-bound, not
+    # device-bound — the self-diagnosis VERDICT r4 asked for.
+    t0 = time.perf_counter()
+    rt.render(SPP)
+    rt.render(SPP)
+    jax.block_until_ready(rt.film.pixel_sum)
+    pair = time.perf_counter() - t0
+    dev_est = max(pair - dt, 0.0)
+    print(f"bench reps (s): {[round(t, 3) for t in times]}  "
+          f"min {dt:.3f}  device-est {dev_est:.3f}", file=sys.stderr)
 
     rays = W * H * SPP
     mrays = rays / dt / 1e6
@@ -83,6 +108,9 @@ def main():
         "value": round(mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "wall_s_min": round(dt, 4),
+        "device_s_est": round(dev_est, 4),
+        "reps_s": [round(t, 3) for t in times],
     }))
 
 

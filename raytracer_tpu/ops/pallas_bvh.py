@@ -999,7 +999,11 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
     nbs, RB = so_planes[0].shape
     L = n_lights
     nbp = nbs // L
-    assert nbs == nbp * L and nbs % 8 == 0
+    # nbp must itself be a block-row multiple: parent_spec indexes the
+    # parent planes with i % (nbp // 8) and the kernel derives the light
+    # index as blk // nbp, both of which misindex if only nbs (and not
+    # the per-light chunk) is divisible by 8.
+    assert nbs == nbp * L and nbp % 8 == 0
     NL, C, _ = v0.shape
     K1 = sc_aabb.shape[0]
     S = seg_aabb.shape[0] // NL
