@@ -52,6 +52,7 @@ class RayTracer:
                  compat_v_bug: bool = False,
                  sort_key_mode: str = "dir6",
                  accel_opts: dict | None = None,
+                 spp_pool: int | None = None,
                  seed: int = 0):
         self.width = width
         self.height = height
@@ -76,7 +77,13 @@ class RayTracer:
         self._sharded_render = None
         self._sharded_mesh = None
         self._step = self._make_step()
-        self._frame_step = None
+        self._frame_steps = {}
+        # spp pooling: render `pool` spp samples per wavefront so every
+        # level's bounce rays share ONE global sort (pool-times denser
+        # key bins -> tighter 128-ray blocks at L1/L2, where the
+        # MT-volume coherence wall is).  None = auto (8 when the
+        # intersector supports whole-level fusion, else 1).
+        self.spp_pool = spp_pool
 
     @classmethod
     def from_scene(cls, scene, width, height, **kwargs):
@@ -205,11 +212,17 @@ class RayTracer:
 
     # -- batch-mode API (TPU-native; no reference equivalent) -------------
 
-    def _make_frame_step(self):
+    def _make_frame_step(self, pool: int = 1):
         """One jitted call per full frame: swizzled ray-gen, the whole
         wavefront, and the un-swizzle back to pixel order as a pure
         reshape/transpose (no gather), so the film update is a dense add
-        (no scatter)."""
+        (no scatter).
+
+        pool > 1: each loop iteration renders `pool` spp samples in ONE
+        pooled wavefront (trace_radiance_fused pool mode) — the key
+        chain, per-sample RNG streams and film moments are identical to
+        `pool` unpooled iterations; only the float summation grouping of
+        the film add differs."""
         W, H = self.width, self.height
         TW, TH = self.TILE_W, self.TILE_H
         Wp, Hp = -(-W // TW) * TW, -(-H // TH) * TH
@@ -226,6 +239,45 @@ class RayTracer:
             py = jnp.asarray((np.asarray(idx) // H).astype(np.int32))
         else:
             py = jnp.asarray(py_actual)
+
+        if pool > 1:
+            # pooled mode runs the fused wavefront directly (the only
+            # radiance path with a pool axis)
+            self._shade_fast_args()
+            assert getattr(self.intersector, "supports_fused_spawn", False)
+            isect, rec, spread = self.intersector, self.recursions, self.spread
+
+            def render_pool(scene, cam, key):
+                os_, ds_, kts = [], [], []
+                for _ in range(pool):
+                    key, k = jax.random.split(key)
+                    kj, kt = jax.random.split(k)
+                    jitter = jax.random.uniform(kj, (px.shape[0], 2),
+                                                dtype=jnp.float32)
+                    o, d = generate_rays(cam, px, py, jitter, W, H)
+                    os_.append(o)
+                    ds_.append(d)
+                    kts.append(kt)
+                rad = trace_radiance_fused(
+                    scene, jnp.concatenate(os_), jnp.concatenate(ds_),
+                    jnp.stack(kts), isect, rec, spread,
+                    sort_key_mode=self.sort_key_mode, pool=pool)
+                img = (rad.reshape(pool, Hp // TH, Wp // TW, TH, TW, 3)
+                       .transpose(0, 1, 3, 2, 4, 5)
+                       .reshape(pool, Hp, Wp, 3))
+                return img[:, :H, :W].reshape(pool, H * W, 3), key
+
+            def frame_loop(scene, cam, psum, psq, ns, key, iters):
+                def body(_, carry):
+                    psum, psq, ns, key = carry
+                    radp, key = render_pool(scene, cam, key)
+                    return (psum + radp.sum(axis=0),
+                            psq + (radp * radp).sum(axis=0),
+                            ns + float(pool), key)
+                return jax.lax.fori_loop(0, iters, body,
+                                         (psum, psq, ns, key))
+
+            return jax.jit(frame_loop, donate_argnums=(2, 3, 4))
 
         radiance = self._radiance_fn()
 
@@ -251,18 +303,34 @@ class RayTracer:
 
         return jax.jit(frame_loop, donate_argnums=(2, 3, 4))
 
+    def _choose_pool(self, spp: int) -> int:
+        """Largest divisor of spp within the pool budget (auto: 8 on
+        the fused TPU path — measured round 5 — else 1)."""
+        budget = self.spp_pool
+        if budget is None:
+            self._shade_fast_args()
+            budget = (8 if getattr(self.intersector,
+                                   "supports_fused_spawn", False) else 1)
+        budget = max(1, min(budget, spp))
+        for p in range(budget, 0, -1):
+            if spp % p == 0:
+                return p
+        return 1
+
     def render(self, spp: int = 1) -> np.ndarray:
         """Render the full frame at `spp` samples per pixel; returns HDR
         (H, W, 3) float32 mean radiance.  One jitted whole-frame loop
         with dense film accumulation (the progressive row loop is only
         for reference-parity interactive use)."""
-        if self._frame_step is None:
-            self._frame_step = self._make_frame_step()
+        pool = self._choose_pool(spp)
+        step = self._frame_steps.get(pool)
+        if step is None:
+            step = self._frame_steps[pool] = self._make_frame_step(pool)
         f = self.film
-        psum, psq, ns, self._key = self._frame_step(
+        psum, psq, ns, self._key = step(
             self.scene_arrays, self.camera.params(),
             f.pixel_sum, f.pixel_sum_sq, f.num_samples, self._key,
-            jnp.int32(spp))
+            jnp.int32(spp // pool))
         f.pixel_sum, f.pixel_sum_sq, f.num_samples = psum, psq, ns
         return self.get_hdr()
 

@@ -81,7 +81,7 @@ def _expand3(x):
     return x
 
 
-def _sort_key(isect, origins, dirs, alive, mode="dir6", parent_slot=None):
+def _sort_key(isect, origins, dirs, alive, mode="dir6"):
     """Spatial sort key for bounce rays: direction bins (major) then a
     Morton code of the spawn origin (minor); dead rays key past
     everything.  Blocks then share one direction bin and a tight origin
@@ -90,25 +90,13 @@ def _sort_key(isect, origins, dirs, alive, mode="dir6", parent_slot=None):
 
     mode (measured e2e Mrays/s on thai2 1024^2, round 2 unless noted):
       "dir6"     1.55 — 64 direction bins major, 15-bit Morton minor
-      "leafdir"  parent BVH row major (tight origin bin), 64 direction
-                 bins minor; requires parent_slot.  Measured LOSS
-                 (round 4, scripts/sweep_sortkey.py): L1 closest 168.6
-                 vs dir6's 149.9 ms — origin-tight blocks diverge in
-                 direction, and the front-to-back walk's early-exit
-                 depends on direction agreement more than origin
-                 tightness.  Kept for scenes with different profiles.
       "dirmajor" 1.42 — 8 octants major, 21-bit Morton minor
       "posmajor" 0.97 — Morton major, octant minor
+    A parent-row-major key ("leafdir") was measured in round 4 and
+    DELETED in round 5: L1 closest 168.6 vs dir6's 149.9 ms
+    (scripts/sweep_sortkey.py; direction agreement beats origin
+    tightness for the front-to-back walk's early exit).
     """
-    if mode == "leafdir":
-        cap = isect.leaf_capacity
-        row = parent_slot // cap
-        mag = jnp.max(jnp.abs(dirs), axis=1, keepdims=True)
-        qd = jnp.clip(((dirs / jnp.maximum(mag, 1e-30)) + 1.0) * 2.0,
-                      0.0, 3.0).astype(jnp.int32)
-        dirbin = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
-        key = (row << 6) | dirbin
-        return jnp.where(alive, key, jnp.int32(2 ** 30))
     lo, inv_span = isect.world_lo, isect.world_inv_span
     q = jnp.clip((origins - lo) * inv_span * 128.0, 0.0, 127.0)
     q = q.astype(jnp.int32)
@@ -250,10 +238,8 @@ def trace_radiance(scene, origins, dirs, key, isect,
             child_alive = jnp.repeat(alive, b, axis=0)
 
             if do_sort:
-                pslot = (jnp.repeat(hit["slot"], b, axis=0)
-                         if sort_key_mode == "leafdir" else None)
                 skey = _sort_key(isect, child_o, child_d, child_alive,
-                                 mode=sort_key_mode, parent_slot=pslot)
+                                 mode=sort_key_mode)
                 # original (pixel-order) index of each child: parents are
                 # themselves sorted, so map through the parent ordering
                 if perm_total is None:
@@ -300,7 +286,8 @@ def trace_radiance(scene, origins, dirs, key, isect,
 def trace_radiance_fused(scene, origins, dirs, key, isect,
                          recursions: int = RECURSIONS,
                          spread: int = SUB_SPREAD,
-                         sort_key_mode: str = "dir6"):
+                         sort_key_mode: str = "dir6",
+                         pool: int = 1):
     """Whole-level fused variant of `trace_radiance` for intersectors
     exposing spawn/shadow_shade (BVHIntersector on TPU, texture-free
     scenes): each level is ONE closest+spawn kernel (shadow rays, child
@@ -314,8 +301,22 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
     `trace_radiance` with sorting on (verified bit-for-bit in
     tests/test_fused_spawn.py): Gaussians are drawn in canonical pixel
     order with the unpadded shapes the reference path uses, and ride
-    the sorts as payload columns."""
+    the sorts as payload columns.
+
+    pool > 1 renders `pool` spp samples in ONE wavefront: origins/dirs
+    are the samples' rays concatenated sample-major and `key` carries
+    `pool` stacked PRNG keys (one per sample).  All samples' bounce
+    rays enter a single global sort, so every 128-ray block draws from
+    a `pool`-times denser key population — far tighter direction+origin
+    bins, which directly attacks the L1 128-ray-union coherence penalty
+    (round-4 counters: L1 blocks Möller–Trumbore ~10.9 rows vs L0's
+    1.84).  Per-sample radiance is BIT-IDENTICAL to pool=1 with that
+    sample's key: per-ray kernel results don't depend on block mates
+    (gates are conservative), draws stay in canonical per-sample order,
+    and the unsort restores canonical order before the per-sample fold.
+    """
     R0 = origins.shape[0]
+    assert R0 % pool == 0
     RB = isect.ray_block
     pad = (-R0) % (8 * RB)
     if pad:
@@ -326,7 +327,18 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
     R = origins.shape[0]
     nb = R // RB
     L = scene.light_pos.shape[0]
-    subs = jax.random.split(key, recursions) if recursions > 0 else None
+    # per-sample RNG streams: pool == 1 uses `key` directly; pooled mode
+    # splits each sample's stacked key exactly as its pool=1 call would
+    key_list = [key] if pool == 1 else [key[s] for s in range(pool)]
+    subs = ([jax.random.split(k, recursions) for k in key_list]
+            if recursions > 0 else None)
+
+    def draw_gauss(level, per_sample):
+        """(pool * per_sample, 3) canonical Gaussians, sample-major —
+        identical per-sample values to the pool=1 draws."""
+        gs = [jax.random.normal(subs[s][level], (per_sample, 3),
+                                dtype=jnp.float32) for s in range(pool)]
+        return gs[0] if pool == 1 else jnp.concatenate(gs)
 
     cur_o = [origins[:, k].reshape(nb, RB) for k in range(3)]
     cur_d = [dirs[:, k].reshape(nb, RB) for k in range(3)]
@@ -346,8 +358,7 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
         # belong to dead rays)
         if b:
             if pending_cols is None:
-                g = jax.random.normal(subs[level], (n_real * b, 3),
-                                      dtype=jnp.float32)
+                g = draw_gauss(level, (n_real // pool) * b)
                 gcols_mat = g.reshape(n_real, 3 * b)
                 if n_rays != n_real:
                     gcols_mat = jnp.concatenate(
@@ -421,9 +432,8 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
             extra = []
             if level + 1 < recursions:
                 b_next = spread * (recursions - level - 1)
-                g_next = jax.random.normal(
-                    subs[level + 1], (n_real * b * b_next, 3),
-                    dtype=jnp.float32)
+                g_next = draw_gauss(level + 1,
+                                    (n_real // pool) * b * b_next)
                 gmat = g_next.reshape(n_real * b, 3 * b_next)
                 if n_rays != n_real:
                     gmat = jnp.concatenate(

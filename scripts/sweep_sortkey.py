@@ -1,6 +1,10 @@
-"""Compare bounce-ray sort keys (dir6 vs leafdir vs dirmajor) by timing
-the production BVH kernel on the resulting L1 ray orders (thai2, real
-chip).  Query-level: avoids the ~8 min whole-frame tunnel compile."""
+"""Compare bounce-ray sort keys (dir6 vs dirmajor) by timing the
+production BVH kernel on the resulting L1 ray orders (thai2, real
+chip).  Query-level: avoids the ~8 min whole-frame tunnel compile.
+
+Round-4 result (recorded in docs/DESIGN.md section 6): a parent-row-major
+"leafdir" key measured 168.6 ms vs dir6's 149.9 on L1 closest; the mode
+was deleted in round 5."""
 import os
 import sys
 import time
@@ -55,12 +59,10 @@ def main():
     c1d = hemisphere_from_gaussian(g, jnp.repeat(n0, 2, axis=0))
     c1o = jnp.repeat(hitp, 2, axis=0) + 1e-5 * c1d
     c1a = jnp.repeat(q0["hit"], 2, axis=0)
-    pslot = jnp.repeat(q0["slot"], 2, axis=0)
     orig = jnp.arange(2 * R, dtype=jnp.int32)
 
-    for mode in ("dir6", "leafdir", "dirmajor"):
-        skey = _sort_key(isect, c1o, c1d, c1a, mode=mode,
-                         parent_slot=pslot if mode == "leafdir" else None)
+    for mode in ("dir6", "dirmajor"):
+        skey = _sort_key(isect, c1o, c1d, c1a, mode=mode)
         s1o, s1d, s1a, _, _ = _sort_rays(skey, c1o, c1d, c1a, orig, [])
         s1o = jnp.where(s1a[:, None], s1o, DEAD_ORIGIN)
         s1d = jnp.where(s1a[:, None], s1d, 1.0)

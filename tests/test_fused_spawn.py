@@ -99,6 +99,45 @@ def test_fused_spawn_two_lights(data_dir):
                                rtol=5e-3)
 
 
+def test_pooled_fused_matches_per_sample(data_dir):
+    """spp pooling (trace_radiance_fused pool=P): P samples' rays
+    concatenated into one wavefront whose bounce sorts mix samples for
+    block coherence.  Per-sample radiance must be BIT-IDENTICAL to P
+    separate pool=1 calls with the same per-sample keys: per-ray kernel
+    results don't depend on block mates (gates are conservative), draws
+    stay canonical per sample, and the unsort restores order."""
+    scene, o, d, kt, isect = _setup(data_dir)
+    k2 = jax.random.fold_in(kt, 1)
+    with pltpu.force_tpu_interpret_mode():
+        want0 = np.asarray(trace_radiance_fused(scene, o, d, kt, isect,
+                                                recursions=2, spread=1))
+        want1 = np.asarray(trace_radiance_fused(scene, o, d, k2, isect,
+                                                recursions=2, spread=1))
+        got = np.asarray(trace_radiance_fused(
+            scene, jnp.concatenate([o, o]), jnp.concatenate([d, d]),
+            jnp.stack([kt, k2]), isect, recursions=2, spread=1, pool=2))
+    R = o.shape[0]
+    np.testing.assert_array_equal(got[:R], want0)
+    np.testing.assert_array_equal(got[R:], want1)
+
+
+def test_pooled_engine_render_matches_unpooled(data_dir):
+    """Engine-level: render(spp=2) with spp_pool=2 vs spp_pool=1 — the
+    same key chain, so the film must match exactly (one pooled
+    iteration sums radiance before the zero-initialized film add)."""
+    kw = dict(width=32, height=16, recursions=1, seed=3, accel="bvh",
+              accel_opts=dict(use_pallas=True))
+    rt1 = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
+                                     spp_pool=1, **kw)
+    rt2 = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
+                                     spp_pool=2, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        img1 = np.asarray(rt1.render(2))
+        img2 = np.asarray(rt2.render(2))
+    assert rt2._choose_pool(2) == 2
+    np.testing.assert_array_equal(img1, img2)
+
+
 def test_fused_shade_textured_scene_engine(data_dir):
     """Textured scenes can't use whole-level fusion (no texel lookup in
     the kernel) and must fall back to the in-kernel record epilogue +
