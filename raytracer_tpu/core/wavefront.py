@@ -374,6 +374,29 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
         sres = isect.spawn(cur_o, cur_d, gauss_planes, scene.light_pos,
                            children=b)
 
+        # textured scenes: the kernel emits barycentric u/v and a tex-id
+        # record plane; the nearest-neighbour texel fetch (the only
+        # scattered lookup) runs here in XLA, exactly the
+        # prepare_shade_fused semantics (mod.rs:244-247, texture.rs:21-27)
+        if getattr(isect, "fused_has_textures", False):
+            uu = sres["u"].reshape(n_rays)
+            vv = sres["v"].reshape(n_rays)
+            tid = sres["rec"][6].reshape(n_rays).astype(jnp.int32)
+            safe_tex = jnp.maximum(tid, 0)
+            hw = scene.tex_hw[safe_tex]
+            th, tw = hw[:, 0], hw[:, 1]
+            x = jnp.clip((uu * tw.astype(jnp.float32)).astype(jnp.int32),
+                         0, tw - 1)
+            y = jnp.clip((vv * th.astype(jnp.float32)).astype(jnp.int32),
+                         0, th - 1)
+            texel = scene.tex_atlas[safe_tex, y, x]          # (R, 3)
+            use_tex = tid >= 0
+            c_planes = [jnp.where(use_tex, texel[:, k],
+                                  sres["rec"][3 + k].reshape(n_rays)
+                                  ).reshape(nb_l, RB) for k in range(3)]
+        else:
+            c_planes = sres["rec"][3:6]
+
         # occlusion + radiance (light-major shadow batch)
         so_pl = [jnp.concatenate([sres["shadow"][li][k] for li in range(L)])
                  if L > 1 else sres["shadow"][0][k] for k in range(3)]
@@ -381,7 +404,7 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                                   for li in range(L)])
                  if L > 1 else sres["shadow"][0][3 + k] for k in range(3)]
         rr, rg, rb_ = isect.shadow_shade(
-            so_pl, sd_pl, sres["rec"][0:3], sres["rec"][3:6], cur_d,
+            so_pl, sd_pl, sres["rec"][0:3], c_planes, cur_d,
             scene.light_color)
         if L > 1:
             rr = rr.reshape(L, n_rays).sum(axis=0)

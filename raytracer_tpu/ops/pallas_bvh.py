@@ -97,11 +97,12 @@ def _traverse(limit, shadow, G, S, exact_order,
     Callers read the results out of the accumulator scratch and write
     their own outputs / epilogues.
 
-    stream_bufs: optional ([9 x VMEM (G, C) scratch], DMA sem) — HBM
-    streaming mode: `planes` then live in ANY/HBM (any scene size) and
-    each visited supercluster's G triangle-plane rows are DMA'd into
-    the scratch on demand, the copies overlapping the segment slab
-    phase (reference streams any-size scenes from RAM,
+    stream_bufs: optional ([(9 + n_rec) x VMEM (G, C) scratch], DMA
+    sem) — HBM streaming mode: `planes` (and the shading-record planes,
+    when present) then live in ANY/HBM (any scene size) and each
+    visited supercluster's G rows of every plane are DMA'd into the
+    scratch on demand, the copies overlapping the segment slab phase
+    (reference streams any-size scenes from RAM,
     oct_tree_intersector.rs:66-146)."""
     (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = planes
     ox, oy, oz, dx, dy, dz = cols
@@ -127,12 +128,14 @@ def _traverse(limit, shadow, G, S, exact_order,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, C), dimension=1)
 
-    blk = pl.program_id(0) * 8 + row
-    oidx = oidx_ref[0, blk]
+    # oidx/alive arrive as this grid step's (1, 8) SMEM slice — the
+    # full (1, nb) array would blow the 1 MB SMEM once pooled
+    # wavefronts push nb past ~64k blocks
+    oidx = oidx_ref[0, row]
 
     maxbest[0, 0] = jnp.float32(min(BIG_T, limit))
 
-    @pl.when(alive_ref[0, blk] != 0)
+    @pl.when(alive_ref[0, row] != 0)
     def _():
         # --- phase 1: slab-test every supercluster against every ray ---
         minx, miny, minz = (sc_aabb_ref[:, 0:1], sc_aabb_ref[:, 1:2],
@@ -188,7 +191,7 @@ def _traverse(limit, shadow, G, S, exact_order,
             `leaf` (a traced global index; `local` is its row within
             the current supercluster, used by the streaming scratch)."""
             if stream_bufs is not None:
-                srcs = [b[pl.ds(local, 1), :] for b in stream_bufs[0]]
+                srcs = [b[pl.ds(local, 1), :] for b in stream_bufs[0][:9]]
             else:
                 srcs = [pln[pl.ds(leaf, 1), :]
                         for pln in (v0x, v0y, v0z, e1x, e1y, e1z,
@@ -230,8 +233,14 @@ def _traverse(limit, shadow, G, S, exact_order,
                 # packed record values (normal/diffuse[/tex]) through the
                 # same one-hot mask — kills the post-hoc (R, n_rec)
                 # slot-record gather on the XLA side (VERDICT r3 item 4)
-                for acc, plane in zip(rec_acc, rec_planes):
-                    pj = jnp.sum(jnp.where(sel, plane[pl.ds(leaf, 1), :], 0.0),
+                if stream_bufs is not None:
+                    rec_srcs = [b[pl.ds(local, 1), :]
+                                for b in stream_bufs[0][9:]]
+                else:
+                    rec_srcs = [plane[pl.ds(leaf, 1), :]
+                                for plane in rec_planes]
+                for acc, rsrc in zip(rec_acc, rec_srcs):
+                    pj = jnp.sum(jnp.where(sel, rsrc, 0.0),
                                  axis=1, keepdims=True)
                     acc[:] = jnp.where(better, pj, acc[:])
             bt[:] = jnp.where(better, tmin_row, bt[:])
@@ -241,13 +250,15 @@ def _traverse(limit, shadow, G, S, exact_order,
 
         def visit(kk):
             if stream_bufs is not None:
-                # stream this supercluster's triangle rows HBM -> VMEM,
-                # overlapping the DMA with the slab/gate phase below
+                # stream this supercluster's triangle (and shading-
+                # record) rows HBM -> VMEM, overlapping the DMA with
+                # the slab/gate phase below
                 bufs, tsem = stream_bufs
                 cps = [pltpu.make_async_copy(
                            pln.at[pl.ds(kk * G, G), :], buf, tsem)
                        for pln, buf in zip((v0x, v0y, v0z, e1x, e1y, e1z,
-                                            e2x, e2y, e2z), bufs)]
+                                            e2x, e2y, e2z) + tuple(rec_planes),
+                                           bufs)]
                 for cp in cps:
                     cp.start()
             # --- segment-level slab test: one (G*S, RB) vector op ---
@@ -320,8 +331,8 @@ def _traverse(limit, shadow, G, S, exact_order,
 
 
 def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec, stream,
-                oidx_ref,                     # SMEM (1, nb) int32
-                alive_ref,                    # SMEM (1, nb) int32
+                oidx_ref,                     # SMEM (1, 8) int32 slice
+                alive_ref,                    # SMEM (1, 8) int32 slice
                 order_ref,                    # SMEM (6, K1) int32
                 o_ref, d_ref,                 # VMEM (RB, 3)
                 sc_aabb_ref,                  # VMEM (K1, 8)
@@ -339,7 +350,9 @@ def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec, stream,
     rec_acc = rest[k + 9:k + 9 + n_rec]       # scratch (RB, 1) f32 each
     k += 9 + n_rec
     maxbest = rest[k]                         # scratch SMEM (1, 1) f32
-    stream_bufs = (rest[k + 1:k + 10], rest[k + 10]) if stream else None
+    nsb = 9 + n_rec
+    stream_bufs = ((rest[k + 1:k + 1 + nsb], rest[k + 1 + nsb])
+                   if stream else None)
 
     RB = o_ref.shape[0]
     row = pl.program_id(1)
@@ -423,7 +436,10 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
 
     ray_spec = pl.BlockSpec((RB, 3), lambda i, j: (i * 8 + j, 0),
                             memory_space=pltpu.VMEM)
-    blk_scalar_spec = pl.BlockSpec((1, nb), lambda i, j: (0, 0),
+    # per-step (1, 8) slice of the block metadata: the full (1, nb)
+    # array in SMEM caps nb at ~64k blocks (1 MB SMEM), which pooled
+    # wavefronts exceed
+    blk_scalar_spec = pl.BlockSpec((1, 8), lambda i, j: (0, i),
                                    memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -434,7 +450,6 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         exact_order = K1 <= 64
     rec_planes = tuple(rec_planes) if not shadow else ()
     n_rec = len(rec_planes)
-    assert not (stream and n_rec), "streaming mode has no record planes"
     kernel = functools.partial(_bvh_kernel, limit, shadow, group, S,
                                exact_order, n_rec, stream)
 
@@ -469,7 +484,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         + [pltpu.VMEM((RB, 1), jnp.int32)]
         + [pltpu.VMEM((RB, 1), jnp.float32)] * n_rec
         + [pltpu.SMEM((1, 1), jnp.float32)]
-        + ([pltpu.VMEM((group, C), jnp.float32)] * 9
+        + ([pltpu.VMEM((group, C), jnp.float32)] * (9 + n_rec)
            + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
     )(oidx, alive, orders, origins, dirs, sc_aabb, seg_aabb, *planes,
@@ -540,21 +555,35 @@ class BVHIntersector:
 
     @property
     def supports_fused_shade(self):
-        return (self.use_pallas and not self.stream
-                and self.shade_planes is not None)
+        return self.use_pallas and self.shade_planes is not None
 
     @property
     def supports_fused_spawn(self):
-        """Whole-level fusion (pallas_bvh_spawn/shadow_shade) is wired
-        for texture-free scenes: 6 record planes (normal + diffuse)."""
-        return (self.use_pallas and not self.stream
+        """Whole-level fusion (pallas_bvh_spawn/shadow_shade): 6 record
+        planes (normal + diffuse) for texture-free scenes, 7 (+ tex id)
+        for textured ones — the spawn kernel then also emits the
+        barycentric u/v planes and the texel fetch runs in XLA between
+        spawn and shadow-shade (reference texturing: mod.rs:244-247,
+        texture.rs:21-27).  Streaming scenes (HBM-resident planes) keep
+        the fused path: the record planes stream alongside the
+        triangles."""
+        return (self.use_pallas
                 and self.shade_planes is not None
-                and len(self.shade_planes) == 6)
+                and len(self.shade_planes) in (6, 7))
+
+    @property
+    def fused_has_textures(self):
+        """True when the fused-spawn records carry a tex-id plane (the
+        driver must fetch texels between spawn and shadow_shade)."""
+        return (self.shade_planes is not None
+                and len(self.shade_planes) == 7)
 
     def spawn(self, o_planes, d_planes, gauss_planes, light_pos,
               children: int):
         """Fused closest + shadow-ray + child-ray construction on
-        plane-form rays (see pallas_bvh_spawn)."""
+        plane-form rays (see pallas_bvh_spawn).  Textured scenes (7
+        record planes) additionally emit the winning hit's barycentric
+        u/v planes for the XLA-side texel fetch."""
         assert self.shade_planes is not None
         return pallas_bvh_spawn(
             tuple(o_planes), tuple(d_planes), tuple(gauss_planes),
@@ -563,7 +592,8 @@ class BVHIntersector:
             world_lo=self._world_lo_t, world_inv_span=self._world_inv_t,
             group=self.group, exact_order=self.exact_order,
             n_lights=int(light_pos.shape[0]), children=children,
-            emit_uv=False, ray_block=self.ray_block)
+            emit_uv=self.fused_has_textures, ray_block=self.ray_block,
+            stream=self.stream)
 
     def shadow_shade(self, so_planes, sd_planes, n_planes, c_planes,
                      view_planes, light_color):
@@ -575,7 +605,7 @@ class BVHIntersector:
             self.v0, self.e1, self.e2, self.seg_aabb, self.sc_aabb,
             self.orders, group=self.group, exact_order=self.exact_order,
             n_lights=int(light_color.shape[0]),
-            ray_block=self.ray_block)
+            ray_block=self.ray_block, stream=self.stream)
 
     def _pad(self, origins, dirs):
         R = origins.shape[0]
@@ -690,14 +720,14 @@ def _norm3(x, y, z):
 
 
 def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
-                  world_lo, world_inv_span,
+                  stream, world_lo, world_inv_span,
                   oidx_ref, alive_ref, order_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, RB)
                   light_ref,                    # SMEM (L, 4) light pos
                   sc_aabb_ref, seg_aabb_ref,
                   *rest):
     # rest = 9 tri planes + 3b gauss planes (1, RB) + n_rec rec planes,
-    # then outputs, then scratch.
+    # then outputs, then scratch [+ streaming bufs].
     planes = rest[:9]
     gauss = rest[9:9 + 3 * b]
     rec_planes = rest[9 + 3 * b:9 + 3 * b + n_rec]
@@ -708,6 +738,9 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
     (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[k:k + 9]
     rec_acc = rest[k + 9:k + 9 + n_rec]
     maxbest = rest[k + 9 + n_rec]
+    k += 9 + n_rec + 1
+    nsb = 9 + n_rec
+    stream_bufs = (rest[k:k + nsb], rest[k + nsb]) if stream else None
 
     RB = ox_ref.shape[1]
     row = pl.program_id(1)
@@ -720,7 +753,7 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
               oidx_ref, alive_ref, order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
-              bt, bu, bv, bi, rec_acc, maxbest)
+              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs)
 
     ox, oy, oz, dx, dy, dz = cols
     # measured: the spawn epilogue is FASTER in (RB, 1) column
@@ -810,6 +843,7 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
 
 
 def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
+                         stream,
                          oidx_ref, alive_ref, order_ref,
                          ox_ref, oy_ref, oz_ref,      # shadow origin (1, RB)
                          dx_ref, dy_ref, dz_ref,      # to-light dir (1, RB)
@@ -823,6 +857,7 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
     rr, rg, rb_ = rest[9:12]                 # radiance outputs
     (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[12:21]
     maxbest = rest[21]
+    stream_bufs = (rest[22:31], rest[31]) if stream else None
 
     RB = ox_ref.shape[1]
     row = pl.program_id(1)
@@ -834,7 +869,7 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
               oidx_ref, alive_ref, order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, (),
               tent, mintent, mintent_sm, order_sm, sem,
-              bt, bu, bv, bi, (), maxbest)
+              bt, bu, bv, bi, (), maxbest, stream_bufs=stream_bufs)
 
     # --- epilogue: finish_shade for this light, in (1, RB) ROW form
     # (column ops waste 127/128 VPU lanes; see _spawn_kernel) ---
@@ -905,16 +940,18 @@ def _common_scratch(K1, RB, n_rec):
 
 @functools.partial(jax.jit, static_argnames=(
     "interpret", "group", "exact_order", "n_lights", "children", "emit_uv",
-    "key_mode", "ray_block", "world_lo", "world_inv_span"))
+    "key_mode", "ray_block", "world_lo", "world_inv_span", "stream"))
 def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
                      v0, e1, e2, seg_aabb, sc_aabb, orders, rec_planes,
                      world_lo=(0.0, 0.0, 0.0), world_inv_span=(1., 1., 1.),
                      interpret=False, group=8, exact_order=None,
                      n_lights=1, children=0, emit_uv=False, key_mode="dir6",
-                     ray_block=DEFAULT_RAY_BLOCK):
+                     ray_block=DEFAULT_RAY_BLOCK, stream=False):
     """Fused closest-hit + spawn: plane-form rays in, per-ray closest t,
     shading record, per-light shadow rays, and per-child bounce rays +
-    sort keys out (all (nb, RB) planes).  See module comment."""
+    sort keys out (all (nb, RB) planes).  See module comment.
+    stream=True keeps the triangle AND record planes in ANY/HBM and
+    DMAs each visited supercluster's rows (any scene size)."""
     nb, RB = o_planes[0].shape
     NL, C, _ = v0.shape
     K1 = sc_aabb.shape[0]
@@ -929,10 +966,13 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
     world_inv_span = tuple(float(x) for x in np.asarray(world_inv_span))
     oidx, alive = _block_meta(o_planes[0], d_planes, nb, exact_order)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
-    tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
-                            memory_space=pltpu.VMEM)
+    if stream:
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
     pspec = _plane_spec(RB)
-    blk_scalar_spec = pl.BlockSpec((1, nb), lambda i, j: (0, 0),
+    blk_scalar_spec = pl.BlockSpec((1, 8), lambda i, j: (0, i),
                                    memory_space=pltpu.SMEM)
     lp = jnp.zeros((L, 4), jnp.float32).at[:, 0:3].set(light_pos)
 
@@ -948,7 +988,7 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
 
     kernel = functools.partial(_spawn_kernel, float(BIG_T), group, S,
                                exact_order, n_rec, L, b, emit_uv, key_mode,
-                               world_lo, world_inv_span)
+                               stream, world_lo, world_inv_span)
     outs = pl.pallas_call(
         kernel,
         grid=(nb // 8, 8),
@@ -965,7 +1005,9 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
         + [tri_spec] * 9 + [pspec] * (3 * b) + [tri_spec] * n_rec,
         out_specs=tuple([out_spec] * n_out),
         out_shape=tuple(out_shapes),
-        scratch_shapes=_common_scratch(K1, RB, n_rec),
+        scratch_shapes=_common_scratch(K1, RB, n_rec)
+        + ([pltpu.VMEM((group, C), jnp.float32)] * (9 + n_rec)
+           + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
     )(oidx, alive, orders, *o_planes, *d_planes, lp, sc_aabb, seg_aabb,
       *planes, *gauss_planes, *rec_planes)
@@ -985,13 +1027,13 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
 
 @functools.partial(jax.jit, static_argnames=(
     "interpret", "group", "exact_order", "n_lights", "t_min", "t_max",
-    "ray_block"))
+    "ray_block", "stream"))
 def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
                             view_planes, light_color,
                             v0, e1, e2, seg_aabb, sc_aabb, orders,
                             interpret=False, group=8, exact_order=None,
                             n_lights=1, t_min=0.01, t_max=1.0,
-                            ray_block=DEFAULT_RAY_BLOCK):
+                            ray_block=DEFAULT_RAY_BLOCK, stream=False):
     """Fused occlusion + Phong radiance for a light-major shadow batch:
     so/sd are (L*nbp, RB) planes; n/c/view are the parent-level planes
     (nbp, RB), indexed per light chunk.  Returns 3 radiance planes
@@ -1011,18 +1053,21 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
         exact_order = K1 <= 64
     oidx, alive = _block_meta(so_planes[0], sd_planes, nbs, exact_order)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
-    tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
-                            memory_space=pltpu.VMEM)
+    if stream:
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
     pspec = _plane_spec(RB)
     parent_spec = pl.BlockSpec((8, RB), lambda i, j: (i % (nbp // 8), 0),
                                memory_space=pltpu.VMEM)
-    blk_scalar_spec = pl.BlockSpec((1, nbs), lambda i, j: (0, 0),
+    blk_scalar_spec = pl.BlockSpec((1, 8), lambda i, j: (0, i),
                                    memory_space=pltpu.SMEM)
     lc = jnp.zeros((L, 4), jnp.float32).at[:, 0:3].set(light_color)
 
     kernel = functools.partial(_shadow_shade_kernel, float(t_min),
                                float(t_max), group, S, exact_order, L, nbp,
-                               5)                        # 2^5 = pow32
+                               5, stream)                # 2^5 = pow32
     out_spec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     rr, rg, rb_ = pl.pallas_call(
@@ -1042,7 +1087,9 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((nbs, RB), jnp.float32)
                         for _ in range(3)),
-        scratch_shapes=_common_scratch(K1, RB, 0),
+        scratch_shapes=_common_scratch(K1, RB, 0)
+        + ([pltpu.VMEM((group, C), jnp.float32)] * 9
+           + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
     )(oidx, alive, orders, *so_planes, *sd_planes,
       *n_planes, *c_planes, *view_planes, lc, sc_aabb, seg_aabb, *planes)

@@ -16,7 +16,7 @@ from raytracer_tpu.models.camera import generate_rays
 from raytracer_tpu.ops.pallas_bvh import BVHIntersector
 
 
-def _setup(data_dir, n_rays=512):
+def _setup(data_dir, n_rays=512, stream=False):
     rt = create_raytracer_from_file(str(data_dir / "4boxes.dae"),
                                     width=32, height=16, accel="brute")
     scene = rt.scene_arrays
@@ -28,7 +28,7 @@ def _setup(data_dir, n_rays=512):
     o, d = generate_rays(rt.camera.params(), px, py, jitter, 32, 16)
 
     isect = BVHIntersector(rt.scene_buffers, triangles_per_leaf=128,
-                           use_pallas=True)
+                           use_pallas=True, stream=stream)
     records = build_slot_records(scene, isect.perm, isect.perm.shape[0])
     isect.set_shade_records(records[:, :6])
     assert isect.supports_fused_spawn
@@ -99,6 +99,22 @@ def test_fused_spawn_two_lights(data_dir):
                                rtol=5e-3)
 
 
+def test_fused_spawn_streaming_matches_resident(data_dir):
+    """Round 5: HBM-streaming intersectors keep whole-level fusion (the
+    record planes DMA alongside the triangle rows in both fused
+    kernels).  Radiance must equal the VMEM-resident fused path
+    exactly."""
+    scene, o, d, kt, isect = _setup(data_dir)
+    _, _, _, _, isect_s = _setup(data_dir, stream=True)
+    assert isect_s.stream and isect_s.supports_fused_spawn
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(trace_radiance_fused(scene, o, d, kt, isect,
+                                               recursions=2, spread=1))
+        got = np.asarray(trace_radiance_fused(scene, o, d, kt, isect_s,
+                                              recursions=2, spread=1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pooled_fused_matches_per_sample(data_dir):
     """spp pooling (trace_radiance_fused pool=P): P samples' rays
     concatenated into one wavefront whose bounce sorts mix samples for
@@ -138,21 +154,24 @@ def test_pooled_engine_render_matches_unpooled(data_dir):
     np.testing.assert_array_equal(img1, img2)
 
 
-def test_fused_shade_textured_scene_engine(data_dir):
-    """Textured scenes can't use whole-level fusion (no texel lookup in
-    the kernel) and must fall back to the in-kernel record epilogue +
-    XLA texel fetch (fused_shade).  Engine-level: the Pallas path on
-    ico3_tex vs brute with the same seed."""
+def test_fused_spawn_textured_scene_engine(data_dir):
+    """Textured scenes run whole-level fusion too (round 5): the spawn
+    kernel emits barycentric u/v + a tex-id record plane and the texel
+    fetch runs in XLA between spawn and shadow-shade.  Engine-level:
+    the Pallas fused path on ico3_tex vs brute with the same seed."""
     kw = dict(width=24, height=16, recursions=1, seed=5)
     rtp = create_raytracer_from_file(str(data_dir / "ico3_tex.dae"),
                                      accel="bvh",
                                      accel_opts=dict(use_pallas=True), **kw)
     rtb = create_raytracer_from_file(str(data_dir / "ico3_tex.dae"),
                                      accel="brute", **kw)
-    assert rtp.intersector.supports_fused_shade
-    assert not rtp.intersector.supports_fused_spawn   # 7 rec planes (tex)
+    rtp._shade_fast_args()
+    assert rtp.intersector.supports_fused_spawn      # 7 rec planes (tex)
+    assert rtp.intersector.fused_has_textures
     with pltpu.force_tpu_interpret_mode():
         img_p = np.asarray(rtp.render(1))
     img_b = np.asarray(rtb.render(1))
     close = np.isclose(img_p, img_b, rtol=2e-4, atol=2e-5)
     assert close.mean() > 0.99, f"{(~close).sum()} of {close.size} mismatch"
+    np.testing.assert_allclose(img_p.mean(axis=(0, 1)),
+                               img_b.mean(axis=(0, 1)), rtol=5e-3)

@@ -265,6 +265,27 @@ def test_bvh_streaming_matches_resident():
     np.testing.assert_array_equal(ts, tr)
 
 
+def test_bvh_streaming_with_record_planes():
+    """Round 5: streaming mode carries the shading-record planes (they
+    DMA alongside the triangle rows), so >VMEM-ceiling scenes keep the
+    in-kernel winning-record epilogue.  Must match the VMEM-resident
+    kernel exactly, including the record outputs."""
+    tris = random_scene(3000, seed=31)
+    o, d = random_rays(1024, seed=32)
+    bvh, args = build(tris, tpl=128)
+    rng = np.random.default_rng(41)
+    S = bvh.num_leaves * bvh.leaf_size
+    records = rng.random((S, 6)).astype(np.float32)
+    planes = tuple(jnp.asarray(records[:, k].reshape(bvh.num_leaves,
+                                                     bvh.leaf_size))
+                   for k in range(6))
+    res0 = run_kernel(o, d, args, rec_planes=planes)
+    res1 = run_kernel(o, d, args, rec_planes=planes, stream=True)
+    assert len(res0) == 4 + 6
+    for a, b in zip(res0, res1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bvh_streaming_beyond_vmem_ceiling():
     """A synthetic scene larger than the ~300k-triangle VMEM-resident
     ceiling (ops/pallas_intersect.py budget note): 400k triangles only
