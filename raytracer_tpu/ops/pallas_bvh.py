@@ -83,7 +83,7 @@ def _safe_inv(x):
 
 
 def _traverse(limit, shadow, G, S, exact_order,
-              oidx_ref, alive_ref, order_ref,
+              order_ref,
               cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
@@ -112,7 +112,6 @@ def _traverse(limit, shadow, G, S, exact_order,
     K1 = sc_aabb_ref.shape[0]
     C = v0x.shape[1]
     RB = ox.shape[0]
-    row = pl.program_id(1)
 
     bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
     if not shadow:
@@ -128,14 +127,27 @@ def _traverse(limit, shadow, G, S, exact_order,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, C), dimension=1)
 
-    # oidx/alive arrive as this grid step's (1, 8) SMEM slice — the
-    # full (1, nb) array would blow the 1 MB SMEM once pooled
-    # wavefronts push nb past ~64k blocks
-    oidx = oidx_ref[0, row]
+    # Per-block metadata computed IN-KERNEL from the ray planes (the
+    # former host-side (1, nb) SMEM arrays capped nb at ~64k blocks —
+    # 1 MB SMEM — which pooled wavefronts exceed, and cost an XLA
+    # reduction pass per level besides):
+    #  - block aliveness: any lane with a non-sentinel origin;
+    #  - dominant-direction order index (approximate walk only).
+    alive_blk = jnp.max(jnp.where(alive_row, 1, 0))
+    if exact_order:
+        oidx = jnp.int32(0)
+    else:
+        sx, sy, sz = jnp.sum(dxr), jnp.sum(dyr), jnp.sum(dzr)
+        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
+        axis = jnp.where(ay_ > ax_, 1, 0)
+        best = jnp.maximum(ax_, ay_)
+        axis = jnp.where(az_ > best, 2, axis)
+        sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        oidx = axis * 2 + (sgn < 0.0).astype(jnp.int32)
 
     maxbest[0, 0] = jnp.float32(min(BIG_T, limit))
 
-    @pl.when(alive_ref[0, row] != 0)
+    @pl.when(alive_blk != 0)
     def _():
         # --- phase 1: slab-test every supercluster against every ray ---
         minx, miny, minz = (sc_aabb_ref[:, 0:1], sc_aabb_ref[:, 1:2],
@@ -331,8 +343,6 @@ def _traverse(limit, shadow, G, S, exact_order,
 
 
 def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec, stream,
-                oidx_ref,                     # SMEM (1, 8) int32 slice
-                alive_ref,                    # SMEM (1, 8) int32 slice
                 order_ref,                    # SMEM (6, K1) int32
                 o_ref, d_ref,                 # VMEM (RB, 3)
                 sc_aabb_ref,                  # VMEM (K1, 8)
@@ -365,7 +375,7 @@ def _bvh_kernel(limit, shadow, G, S, exact_order, n_rec, stream,
             d[:, 1].reshape(1, RB), d[:, 2].reshape(1, RB))
 
     _traverse(limit, shadow, G, S, exact_order,
-              oidx_ref, alive_ref, order_ref, cols, rows,
+              order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs)
@@ -425,22 +435,11 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
     assert nb % 8 == 0
     grid = (nb // 8, 8)
 
-    db = dirs.reshape(nb, RB, 3)
-    s = jnp.sum(db, axis=1)                                    # (nb, 3)
-    axis = jnp.argmax(jnp.abs(s), axis=1)                      # (nb,)
-    sgn = jnp.take_along_axis(s, axis[:, None], axis=1)[:, 0]
-    oidx = (axis * 2 + (sgn < 0.0)).astype(jnp.int32)[None, :]  # (1, nb)
-    ob = origins.reshape(nb, RB, 3)
-    alive = jnp.any(jnp.abs(ob[:, :, 0]) < _ALIVE_LIMIT, axis=1)
-    alive = alive.astype(jnp.int32)[None, :]                   # (1, nb)
-
+    # per-block metadata (aliveness, dominant-direction order index) is
+    # computed in-kernel from the ray data — no host-side reduction, no
+    # SMEM arrays whose (1, nb) footprint would cap the batch size
     ray_spec = pl.BlockSpec((RB, 3), lambda i, j: (i * 8 + j, 0),
                             memory_space=pltpu.VMEM)
-    # per-step (1, 8) slice of the block metadata: the full (1, nb)
-    # array in SMEM caps nb at ~64k blocks (1 MB SMEM), which pooled
-    # wavefronts exceed
-    blk_scalar_spec = pl.BlockSpec((1, 8), lambda i, j: (0, i),
-                                   memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
 
@@ -464,8 +463,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk_scalar_spec, blk_scalar_spec,
-                  pl.BlockSpec((6, K1), lambda i, j: (0, 0),
+        in_specs=[pl.BlockSpec((6, K1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
                   ray_spec, ray_spec,
                   pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
@@ -487,8 +485,7 @@ def pallas_bvh_closest(origins, dirs, v0, e1, e2, seg_aabb, sc_aabb, orders,
         + ([pltpu.VMEM((group, C), jnp.float32)] * (9 + n_rec)
            + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
-    )(oidx, alive, orders, origins, dirs, sc_aabb, seg_aabb, *planes,
-      *rec_planes)
+    )(orders, origins, dirs, sc_aabb, seg_aabb, *planes, *rec_planes)
     if shadow:
         return outs[0].reshape(R)
     return tuple(o.reshape(R) for o in outs)
@@ -721,7 +718,7 @@ def _norm3(x, y, z):
 
 def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
                   stream, world_lo, world_inv_span,
-                  oidx_ref, alive_ref, order_ref,
+                  order_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, RB)
                   light_ref,                    # SMEM (L, 4) light pos
                   sc_aabb_ref, seg_aabb_ref,
@@ -750,7 +747,7 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
     cols = tuple(r.reshape(RB, 1) for r in rows)
 
     _traverse(limit, False, G, S, exact_order,
-              oidx_ref, alive_ref, order_ref, cols, rows,
+              order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs)
@@ -844,7 +841,7 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
 
 def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
                          stream,
-                         oidx_ref, alive_ref, order_ref,
+                         order_ref,
                          ox_ref, oy_ref, oz_ref,      # shadow origin (1, RB)
                          dx_ref, dy_ref, dz_ref,      # to-light dir (1, RB)
                          nx_ref, ny_ref, nz_ref,      # surface normal
@@ -866,7 +863,7 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
     cols = tuple(r.reshape(RB, 1) for r in rows)
 
     _traverse(t_max, True, G, S, exact_order,
-              oidx_ref, alive_ref, order_ref, cols, rows,
+              order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, (),
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, (), maxbest, stream_bufs=stream_bufs)
@@ -902,21 +899,6 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
                        (rb_, cb, lcol_ref[li, 2])):
         contrib = (c * dln + s) * lc
         out[pl.ds(row, 1), :] = jnp.where(lit, contrib, 0.0)
-
-
-def _block_meta(ox_planes, d_planes, nb, exact_order):
-    """Per-block aliveness (and dominant-direction order index when the
-    approximate walk is in use) from plane-form rays."""
-    alive = jnp.any(jnp.abs(ox_planes) < _ALIVE_LIMIT, axis=1)
-    alive = alive.astype(jnp.int32)[None, :]
-    if exact_order:
-        oidx = jnp.zeros((1, nb), jnp.int32)
-    else:
-        s = jnp.stack([jnp.sum(p, axis=1) for p in d_planes], axis=1)
-        axis = jnp.argmax(jnp.abs(s), axis=1)
-        sgn = jnp.take_along_axis(s, axis[:, None], axis=1)[:, 0]
-        oidx = (axis * 2 + (sgn < 0.0)).astype(jnp.int32)[None, :]
-    return oidx, alive
 
 
 def _plane_spec(RB):
@@ -964,7 +946,6 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
         exact_order = K1 <= 64
     world_lo = tuple(float(x) for x in np.asarray(world_lo))
     world_inv_span = tuple(float(x) for x in np.asarray(world_inv_span))
-    oidx, alive = _block_meta(o_planes[0], d_planes, nb, exact_order)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
     if stream:
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -972,8 +953,6 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
         tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)
     pspec = _plane_spec(RB)
-    blk_scalar_spec = pl.BlockSpec((1, 8), lambda i, j: (0, i),
-                                   memory_space=pltpu.SMEM)
     lp = jnp.zeros((L, 4), jnp.float32).at[:, 0:3].set(light_pos)
 
     n_out = 1 + (2 if emit_uv else 0) + n_rec + 6 * L + 7 * b
@@ -992,8 +971,7 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
     outs = pl.pallas_call(
         kernel,
         grid=(nb // 8, 8),
-        in_specs=[blk_scalar_spec, blk_scalar_spec,
-                  pl.BlockSpec((6, K1), lambda i, j: (0, 0),
+        in_specs=[pl.BlockSpec((6, K1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)]
         + [pspec] * 6
         + [pl.BlockSpec((L, 4), lambda i, j: (0, 0),
@@ -1009,7 +987,7 @@ def pallas_bvh_spawn(o_planes, d_planes, gauss_planes, light_pos,
         + ([pltpu.VMEM((group, C), jnp.float32)] * (9 + n_rec)
            + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
-    )(oidx, alive, orders, *o_planes, *d_planes, lp, sc_aabb, seg_aabb,
+    )(orders, *o_planes, *d_planes, lp, sc_aabb, seg_aabb,
       *planes, *gauss_planes, *rec_planes)
 
     res = dict(t=outs[0])
@@ -1051,7 +1029,6 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
     S = seg_aabb.shape[0] // NL
     if exact_order is None:
         exact_order = K1 <= 64
-    oidx, alive = _block_meta(so_planes[0], sd_planes, nbs, exact_order)
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
     if stream:
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1061,8 +1038,6 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
     pspec = _plane_spec(RB)
     parent_spec = pl.BlockSpec((8, RB), lambda i, j: (i % (nbp // 8), 0),
                                memory_space=pltpu.VMEM)
-    blk_scalar_spec = pl.BlockSpec((1, 8), lambda i, j: (0, i),
-                                   memory_space=pltpu.SMEM)
     lc = jnp.zeros((L, 4), jnp.float32).at[:, 0:3].set(light_color)
 
     kernel = functools.partial(_shadow_shade_kernel, float(t_min),
@@ -1073,8 +1048,7 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
     rr, rg, rb_ = pl.pallas_call(
         kernel,
         grid=(nbs // 8, 8),
-        in_specs=[blk_scalar_spec, blk_scalar_spec,
-                  pl.BlockSpec((6, K1), lambda i, j: (0, 0),
+        in_specs=[pl.BlockSpec((6, K1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)]
         + [pspec] * 6 + [parent_spec] * 9
         + [pl.BlockSpec((L, 4), lambda i, j: (0, 0),
@@ -1091,6 +1065,6 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
         + ([pltpu.VMEM((group, C), jnp.float32)] * 9
            + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,
-    )(oidx, alive, orders, *so_planes, *sd_planes,
+    )(orders, *so_planes, *sd_planes,
       *n_planes, *c_planes, *view_planes, lc, sc_aabb, seg_aabb, *planes)
     return rr, rg, rb_

@@ -155,24 +155,38 @@ def run_counters():
     o0, d0 = generate_rays(cam, px, py, jitter, W, H)
     R = o0.shape[0]
 
-    # L1-like rays: spawn from hits, sorted exactly like the frame path
-    q0 = isect.query(scene, o0, d0)
-    hitp = o0 + jnp.where(q0["hit"], q0["t"], 0.0)[:, None] * d0
-    g = jax.random.normal(kt, (2 * R, 3), jnp.float32)
+    # L1-like rays: spawn from hits, sorted exactly like the frame path.
+    # KL_POOL > 1 pools that many samples' L1 rays into ONE sort — the
+    # round-5 spp-pooled wavefront — so the counters quantify how much
+    # a denser key population tightens the 128-ray blocks.
+    POOL = int(os.environ.get("KL_POOL", 1))
     from raytracer_tpu.core.sampler import hemisphere_from_gaussian
     from raytracer_tpu.core.shade import geometric_normal
-    n0 = geometric_normal(scene.tri_verts, q0["tri"])
-    c1d = hemisphere_from_gaussian(g, jnp.repeat(n0, 2, axis=0))
-    c1o = jnp.repeat(hitp, 2, axis=0) + 1e-5 * c1d
-    c1a = jnp.repeat(q0["hit"], 2, axis=0)
+    parts = []
+    for si in range(POOL):
+        ks = jax.random.fold_in(key, si)
+        kjs, kts = jax.random.split(ks)
+        jit_s = jax.random.uniform(kjs, (px.shape[0], 2), dtype=jnp.float32)
+        o0s, d0s = generate_rays(cam, px, py, jit_s, W, H)
+        q0 = isect.query(scene, o0s, d0s)
+        hitp = o0s + jnp.where(q0["hit"], q0["t"], 0.0)[:, None] * d0s
+        g = jax.random.normal(kts, (2 * R, 3), jnp.float32)
+        n0 = geometric_normal(scene.tri_verts, q0["tri"])
+        c1d = hemisphere_from_gaussian(g, jnp.repeat(n0, 2, axis=0))
+        c1o = jnp.repeat(hitp, 2, axis=0) + 1e-5 * c1d
+        c1a = jnp.repeat(q0["hit"], 2, axis=0)
+        parts.append((c1o, c1d, c1a))
+    c1o = jnp.concatenate([p[0] for p in parts])
+    c1d = jnp.concatenate([p[1] for p in parts])
+    c1a = jnp.concatenate([p[2] for p in parts])
     skey = _sort_key(isect, c1o, c1d, c1a)
-    orig = jnp.arange(2 * R, dtype=jnp.int32)
+    orig = jnp.arange(2 * R * POOL, dtype=jnp.int32)
     s1o, s1d, s1a, _, _ = _sort_rays(skey, c1o, c1d, c1a, orig, [])
     s1o = jnp.where(s1a[:, None], s1o, pb.DEAD_ORIGIN)
     s1d = jnp.where(s1a[:, None], s1d, 1.0)
 
     for tag, (o, d) in (("L0 coherent", (o0, d0)),
-                        ("L1 sorted  ", (s1o, s1d))):
+                        (f"L1 sorted x{POOL}", (s1o, s1d))):
         counts = counted_walk(o, d, isect)
         v, m, alive_blocks = counts
         print(f"{tag}: blocks={len(v)} alive={alive_blocks}  "
@@ -205,16 +219,10 @@ def counted_walk(origins, dirs, isect):
     nb = Rp // RB
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
 
-    db = dirs.reshape(nb, RB, 3)
-    s = jnp.sum(db, axis=1)
-    axis = jnp.argmax(jnp.abs(s), axis=1)
-    sgn = jnp.take_along_axis(s, axis[:, None], axis=1)[:, 0]
-    oidx = (axis * 2 + (sgn < 0.0)).astype(jnp.int32)[None, :]
     ob = origins.reshape(nb, RB, 3)
     alive = jnp.any(jnp.abs(ob[:, :, 0]) < _ALIVE_LIMIT, axis=1)
-    alive_i = alive.astype(jnp.int32)[None, :]
 
-    def kernel(oidx_ref, alive_ref, order_ref, o_ref, d_ref, sc_aabb_ref,
+    def kernel(order_ref, o_ref, d_ref, sc_aabb_ref,
                seg_aabb_ref, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                cnt_out, tent, mintent, mintent_sm, order_sm, sem,
                bt, maxbest, nv_sm, nm_sm):
@@ -232,12 +240,13 @@ def counted_walk(origins, dirs, isect):
         oy, oz = o[:, 1:2], o[:, 2:3]
         bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
         alive_row = jnp.abs(ox) < _ALIVE_LIMIT
-        blk = pl.program_id(0) * 8 + row
         maxbest[0, 0] = jnp.float32(BIG_T)
         nv_sm[0, 0] = 0
         nm_sm[0, 0] = 0
+        # in-kernel block aliveness, like the production kernels
+        alive_blk = jnp.max(jnp.where(alive_row, 1, 0))
 
-        @pl.when(alive_ref[0, blk] != 0)
+        @pl.when(alive_blk != 0)
         def _():
             minx, miny, minz = (sc_aabb_ref[:, 0:1], sc_aabb_ref[:, 1:2],
                                 sc_aabb_ref[:, 2:3])
@@ -355,15 +364,12 @@ def counted_walk(origins, dirs, isect):
     grid = (nb // 8, 8)
     ray_spec = pl.BlockSpec((RB, 3), lambda i, j: (i * 8 + j, 0),
                             memory_space=pltpu.VMEM)
-    blk_scalar_spec = pl.BlockSpec((1, nb), lambda i, j: (0, 0),
-                                   memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     cnt = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk_scalar_spec, blk_scalar_spec,
-                  pl.BlockSpec((6, K1), lambda i, j: (0, 0),
+        in_specs=[pl.BlockSpec((6, K1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
                   ray_spec, ray_spec,
                   pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
@@ -382,7 +388,7 @@ def counted_walk(origins, dirs, isect):
                         pltpu.SMEM((1, 1), jnp.float32),
                         pltpu.SMEM((1, 1), jnp.int32),
                         pltpu.SMEM((1, 1), jnp.int32)],
-    )(oidx, alive_i, orders, origins, dirs, sc_aabb, seg_aabb, *planes)
+    )(orders, origins, dirs, sc_aabb, seg_aabb, *planes)
     cnt = np.asarray(cnt)
     return cnt[:, 0], cnt[:, 1], int(np.asarray(alive).sum())
 
