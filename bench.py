@@ -36,6 +36,11 @@ ACCEL_OPTS = {k: int(os.environ[e]) for k, e in
                ("ray_block", "BENCH_RB"))
               if os.environ.get(e)} if ACCEL == "bvh" else {}
 SORTKEY = os.environ.get("BENCH_SORTKEY", "dir6")
+# spp pooling (engine spp_pool): unset = engine auto (8 on the fused
+# TPU path); set to sweep the pool factor
+POOL = (int(os.environ["BENCH_POOL"])
+        if os.environ.get("BENCH_POOL") else None)
+SORT_PAYLOAD = os.environ.get("BENCH_SORT_PAYLOAD", "ride")
 TARGET_MRAYS = 100.0
 
 
@@ -50,7 +55,9 @@ def main():
     rt = rtx.create_raytracer_from_file(SCENE, width=W, height=H,
                                         accel=ACCEL, triangles_per_leaf=TPL,
                                         sort_key_mode=SORTKEY,
-                                        accel_opts=ACCEL_OPTS)
+                                        accel_opts=ACCEL_OPTS,
+                                        spp_pool=POOL,
+                                        sort_payload=SORT_PAYLOAD)
     # warmup: compile the whole-frame step (retry once — the remote
     # compile tunnel occasionally drops a response mid-read)
     for attempt in (0, 1):

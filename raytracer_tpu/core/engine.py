@@ -53,6 +53,7 @@ class RayTracer:
                  sort_key_mode: str = "dir6",
                  accel_opts: dict | None = None,
                  spp_pool: int | None = None,
+                 sort_payload: str = "ride",
                  seed: int = 0):
         self.width = width
         self.height = height
@@ -69,6 +70,7 @@ class RayTracer:
         self.spread = spread
         self.compat_v_bug = compat_v_bug
         self.sort_key_mode = sort_key_mode
+        self.sort_payload = sort_payload
         self.intersector = intersector or make_intersector(
             accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf,
             **(accel_opts or {}))
@@ -125,7 +127,8 @@ class RayTracer:
             def fn(scene, origins, dirs, kt):
                 return trace_radiance_fused(
                     scene, origins, dirs, kt, isect, rec, spread,
-                    sort_key_mode=self.sort_key_mode)
+                    sort_key_mode=self.sort_key_mode,
+                    sort_payload=self.sort_payload)
         else:
             def fn(scene, origins, dirs, kt):
                 return trace_radiance(scene, origins, dirs, kt, isect,
@@ -261,7 +264,8 @@ class RayTracer:
                 rad = trace_radiance_fused(
                     scene, jnp.concatenate(os_), jnp.concatenate(ds_),
                     jnp.stack(kts), isect, rec, spread,
-                    sort_key_mode=self.sort_key_mode, pool=pool)
+                    sort_key_mode=self.sort_key_mode, pool=pool,
+                    sort_payload=self.sort_payload)
                 img = (rad.reshape(pool, Hp // TH, Wp // TW, TH, TW, 3)
                        .transpose(0, 1, 3, 2, 4, 5)
                        .reshape(pool, Hp, Wp, 3))

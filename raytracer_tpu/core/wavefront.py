@@ -90,6 +90,9 @@ def _sort_key(isect, origins, dirs, alive, mode="dir6"):
 
     mode (measured e2e Mrays/s on thai2 1024^2, round 2 unless noted):
       "dir6"     1.55 — 64 direction bins major, 15-bit Morton minor
+      "dir9"     512 direction bins major (3 bits/axis), full 21-bit
+                 Morton minor — for POOLED wavefronts, whose denser key
+                 population can fill finer bins (round 5)
       "dirmajor" 1.42 — 8 octants major, 21-bit Morton minor
       "posmajor" 0.97 — Morton major, octant minor
     A parent-row-major key ("leafdir") was measured in round 4 and
@@ -117,6 +120,14 @@ def _sort_key(isect, origins, dirs, alive, mode="dir6"):
                       0.0, 3.0).astype(jnp.int32)        # (R, 3) in 0..3
         dirbin = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
         key = (dirbin << 15) | (morton >> 6)
+    elif mode == "dir9":
+        # 3 bits/axis -> 512 direction bins, full 21-bit Morton minor
+        # (30-bit key); for pooled populations dense enough to fill them
+        mag = jnp.max(jnp.abs(dirs), axis=1, keepdims=True)
+        qd = jnp.clip(((dirs / jnp.maximum(mag, 1e-30)) + 1.0) * 4.0,
+                      0.0, 7.0).astype(jnp.int32)        # (R, 3) in 0..7
+        dirbin = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
+        key = (dirbin << 21) | morton
     else:
         raise ValueError(f"unknown sort_key_mode {mode!r}")
     return jnp.where(alive, key, jnp.int32(2 ** 30))
@@ -287,7 +298,8 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                          recursions: int = RECURSIONS,
                          spread: int = SUB_SPREAD,
                          sort_key_mode: str = "dir6",
-                         pool: int = 1):
+                         pool: int = 1,
+                         sort_payload: str = "ride"):
     """Whole-level fused variant of `trace_radiance` for intersectors
     exposing spawn/shadow_shade (BVHIntersector on TPU, texture-free
     scenes): each level is ONE closest+spawn kernel (shadow rays, child
@@ -302,6 +314,13 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
     tests/test_fused_spawn.py): Gaussians are drawn in canonical pixel
     order with the unpadded shapes the reference path uses, and ride
     the sorts as payload columns.
+
+    sort_payload: "ride" carries every payload column through the sort
+    network (multi-operand lax.sort — the round-2 measurement); "gather"
+    sorts only (key, position) and gathers the payload columns once by
+    the resulting permutation, trading sort-network traffic for one
+    gather pass (re-measurement hook for the round-4 verdict's glue
+    item — pooled sorts are big enough for the tradeoff to differ).
 
     pool > 1 renders `pool` spp samples in ONE wavefront: origins/dirs
     are the samples' rays concatenated sample-major and `key` carries
@@ -372,7 +391,10 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
             gauss_planes = []
 
         sres = isect.spawn(cur_o, cur_d, gauss_planes, scene.light_pos,
-                           children=b)
+                           children=b,
+                           key_mode=(sort_key_mode
+                                     if sort_key_mode in ("dir6", "dir9")
+                                     else "none"))
 
         # textured scenes: the kernel emits barycentric u/v and a tex-id
         # record plane; the nearest-neighbour texel fetch (the only
@@ -414,9 +436,15 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
 
         # fold back to pixel order and accumulate
         if perm_total is not None:
-            _, r0c, r1c, r2c = jax.lax.sort(
-                (perm_total, rcols[0], rcols[1], rcols[2]), num_keys=1)
-            rcols = [r0c, r1c, r2c]
+            if sort_payload == "gather":
+                _, inv = jax.lax.sort(
+                    (perm_total, jnp.arange(n_rays, dtype=jnp.int32)),
+                    num_keys=1)
+                rcols = [c[inv] for c in rcols]
+            else:
+                _, r0c, r1c, r2c = jax.lax.sort(
+                    (perm_total, rcols[0], rcols[1], rcols[2]), num_keys=1)
+                rcols = [r0c, r1c, r2c]
         if fan > 1:
             rcols = [c.reshape(R, fan).sum(axis=1) for c in rcols]
         rad_acc = [a + weight * c for a, c in zip(rad_acc, rcols)]
@@ -436,7 +464,7 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
             cdx = inter([ch[j][3] for j in range(b)])
             cdy = inter([ch[j][4] for j in range(b)])
             cdz = inter([ch[j][5] for j in range(b)])
-            if sort_key_mode == "dir6":
+            if sort_key_mode in ("dir6", "dir9"):
                 skey = inter([ch[j][6] for j in range(b)])
             else:
                 alive = jnp.abs(cox) < _ALIVE_SORT_LIMIT
@@ -452,7 +480,7 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                         + jnp.tile(jnp.arange(b, dtype=perm_total.dtype),
                                    perm_total.shape[0]))
 
-            extra = []
+            gmat = None
             if level + 1 < recursions:
                 b_next = spread * (recursions - level - 1)
                 g_next = draw_gauss(level + 1,
@@ -462,19 +490,44 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                     gmat = jnp.concatenate(
                         [gmat, jnp.zeros(((n_rays - n_real) * b, 3 * b_next),
                                          jnp.float32)])
-                if perm_total is not None:
-                    # children are in their (sorted) parents' order; map
-                    # the canonical draws through.  At level 0 `orig` is
-                    # the identity — skip the (N, 3b) gather (XLA does
-                    # not elide iota-indexed gathers; ~10 ms/frame)
-                    gmat = gmat[orig]
-                extra = [gmat[:, c] for c in range(3 * b_next)]
 
-            sorted_cols = jax.lax.sort(
-                (skey, cox, coy, coz, cdx, cdy, cdz, orig, *extra),
-                num_keys=1)
-            (_, cox, coy, coz, cdx, cdy, cdz, perm_total) = sorted_cols[:8]
-            pending_cols = list(sorted_cols[8:]) or None
+            if sort_payload == "gather":
+                # sort only (key, position); gather the ray payloads by
+                # the permutation.  lax.sort is stable, so `p` equals
+                # the implicit permutation of the ride path — results
+                # are bit-identical between modes.
+                _, p = jax.lax.sort(
+                    (skey, jnp.arange(n_rays * b, dtype=jnp.int32)),
+                    num_keys=1)
+                cox, coy, coz, cdx, cdy, cdz = (
+                    c[p] for c in (cox, coy, coz, cdx, cdy, cdz))
+                perm_total = orig[p] if perm_total is not None else p
+                if gmat is not None:
+                    # canonical draws straight to sorted child order —
+                    # ONE gather (the ride path needs gmat[orig] first)
+                    gsort = gmat[perm_total]
+                    pending_cols = [gsort[:, c]
+                                    for c in range(gsort.shape[1])]
+                else:
+                    pending_cols = None
+            else:
+                extra = []
+                if gmat is not None:
+                    if perm_total is not None:
+                        # children are in their (sorted) parents' order;
+                        # map the canonical draws through.  At level 0
+                        # `orig` is the identity — skip the (N, 3b)
+                        # gather (XLA does not elide iota-indexed
+                        # gathers; ~10 ms/frame)
+                        gmat = gmat[orig]
+                    extra = [gmat[:, c] for c in range(gmat.shape[1])]
+
+                sorted_cols = jax.lax.sort(
+                    (skey, cox, coy, coz, cdx, cdy, cdz, orig, *extra),
+                    num_keys=1)
+                (_, cox, coy, coz, cdx, cdy, cdz,
+                 perm_total) = sorted_cols[:8]
+                pending_cols = list(sorted_cols[8:]) or None
 
             nb_l = nb_l * b
             cur_o = [c.reshape(nb_l, RB) for c in (cox, coy, coz)]

@@ -576,7 +576,7 @@ class BVHIntersector:
                 and len(self.shade_planes) == 7)
 
     def spawn(self, o_planes, d_planes, gauss_planes, light_pos,
-              children: int):
+              children: int, key_mode: str = "dir6"):
         """Fused closest + shadow-ray + child-ray construction on
         plane-form rays (see pallas_bvh_spawn).  Textured scenes (7
         record planes) additionally emit the winning hit's barycentric
@@ -589,8 +589,8 @@ class BVHIntersector:
             world_lo=self._world_lo_t, world_inv_span=self._world_inv_t,
             group=self.group, exact_order=self.exact_order,
             n_lights=int(light_pos.shape[0]), children=children,
-            emit_uv=self.fused_has_textures, ray_block=self.ray_block,
-            stream=self.stream)
+            emit_uv=self.fused_has_textures, key_mode=key_mode,
+            ray_block=self.ray_block, stream=self.stream)
 
     def shadow_shade(self, so_planes, sd_planes, n_planes, c_planes,
                      view_planes, light_color):
@@ -723,8 +723,8 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
                   light_ref,                    # SMEM (L, 4) light pos
                   sc_aabb_ref, seg_aabb_ref,
                   *rest):
-    # rest = 9 tri planes + 3b gauss planes (1, RB) + n_rec rec planes,
-    # then outputs, then scratch [+ streaming bufs].
+    # rest = 9 tri planes + 3b gauss planes (8, RB) + n_rec rec planes,
+    # then outputs, then scratch [+ tile stash] [+ streaming bufs].
     planes = rest[:9]
     gauss = rest[9:9 + 3 * b]
     rec_planes = rest[9 + 3 * b:9 + 3 * b + n_rec]
@@ -752,91 +752,108 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs)
 
-    ox, oy, oz, dx, dy, dz = cols
-    # measured: the spawn epilogue is FASTER in (RB, 1) column
-    # form than (1, RB) rows (294 vs 234 ms/frame) — unlike the
-    # shadow-shade epilogue, which is row-form; see DESIGN.md §6
-    # --- epilogue: everything the next stage needs, from (RB, 1) cols ---
-    alive_row = jnp.abs(ox) < _ALIVE_LIMIT
-    hit = (bt[:] < BIG_T) & alive_row
-    t_san = jnp.where(hit, bt[:], 0.0)       # prepare_shade t sanitization
-    hpx = ox + t_san * dx
-    hpy = oy + t_san * dy
-    hpz = oz + t_san * dz
-    nx_, ny_, nz_ = rec_acc[0][:], rec_acc[1][:], rec_acc[2][:]
-
-    out_i = 0
-
-    def emit(col):
-        nonlocal out_i
-        outs[out_i][pl.ds(row, 1), :] = col.reshape(1, RB)
-        out_i += 1
-
-    emit(bt[:])
-    if emit_uv:
-        emit(bu[:])
-        emit(bv[:])
+    # write this block's traversal results straight into the (8, RB)
+    # output windows (t, [u, v], records) — the epilogue reads them back
+    n_direct = 1 + (2 if emit_uv else 0) + n_rec
+    di = 0
+    for acc in (bt, bu, bv)[:1 + (2 if emit_uv else 0)]:
+        outs[di][pl.ds(row, 1), :] = acc[:].reshape(1, RB)
+        di += 1
     for acc in rec_acc:
-        emit(acc[:])
+        outs[di][pl.ds(row, 1), :] = acc[:].reshape(1, RB)
+        di += 1
 
-    # shadow rays per light (prepare_shade: origin offset along the
-    # UNNORMALIZED to-light dir; facing via the normalized one)
-    for li in range(L):
-        tlx = light_ref[li, 0] - hpx
-        tly = light_ref[li, 1] - hpy
-        tlz = light_ref[li, 2] - hpz
-        tnx, tny, tnz = _norm3(tlx, tly, tlz)
-        dln = nx_ * tnx + ny_ * tny + nz_ * tnz
-        salive = hit & (dln >= 0.0)
-        emit(jnp.where(salive, hpx + SHADOW_OFFSET * tlx, DEAD_ORIGIN))
-        emit(jnp.where(salive, hpy + SHADOW_OFFSET * tly, DEAD_ORIGIN))
-        emit(jnp.where(salive, hpz + SHADOW_OFFSET * tlz, DEAD_ORIGIN))
-        emit(jnp.where(salive, tlx, 1.0))
-        emit(jnp.where(salive, tly, 1.0))
-        emit(jnp.where(salive, tlz, 1.0))
+    # --- whole-tile epilogue, once per grid step ---------------------
+    # Round 4 ran this per block in (RB, 1)/(1, RB) form — both use 1
+    # of 128 VPU lanes, and the round-5 trace showed the epilogue
+    # dominating the spawn kernels' per-block fixed cost.  Running it
+    # once over the (8, RB) tile uses the full vreg.
+    @pl.when(row == 7)
+    def _epilogue():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        bt_t = outs[0][:]
+        alive_t = jnp.abs(ox) < _ALIVE_LIMIT
+        hit = (bt_t < BIG_T) & alive_t
+        t_san = jnp.where(hit, bt_t, 0.0)   # prepare_shade t sanitization
+        hpx = ox + t_san * dx
+        hpy = oy + t_san * dy
+        hpz = oz + t_san * dz
+        rec_t = outs[n_direct - n_rec:n_direct]
+        nx_, ny_, nz_ = rec_t[0][:], rec_t[1][:], rec_t[2][:]
 
-    # child bounce rays (wavefront child-gen: hemisphere_from_gaussian +
-    # HIT_OFFSET spawn + dead-masking + dir6 sort key)
-    for j in range(b):
-        gx = gauss[3 * j][pl.ds(row, 1), :].reshape(RB, 1)
-        gy = gauss[3 * j + 1][pl.ds(row, 1), :].reshape(RB, 1)
-        gz = gauss[3 * j + 2][pl.ds(row, 1), :].reshape(RB, 1)
-        ux, uy, uz = _norm3(gx, gy, gz)
-        gdot = ux * nx_ + uy * ny_ + uz * nz_
-        flip = gdot < 0.0
-        cdx = jnp.where(flip, -ux, ux)
-        cdy = jnp.where(flip, -uy, uy)
-        cdz = jnp.where(flip, -uz, uz)
-        cox = hpx + HIT_OFFSET * cdx
-        coy = hpy + HIT_OFFSET * cdy
-        coz = hpz + HIT_OFFSET * cdz
-        emit(jnp.where(hit, cox, DEAD_ORIGIN))
-        emit(jnp.where(hit, coy, DEAD_ORIGIN))
-        emit(jnp.where(hit, coz, DEAD_ORIGIN))
-        emit(jnp.where(hit, cdx, 1.0))
-        emit(jnp.where(hit, cdy, 1.0))
-        emit(jnp.where(hit, cdz, 1.0))
-        if key_mode == "dir6":
-            # wavefront._sort_key "dir6": 64 direction bins major,
-            # 15-bit origin Morton minor
-            q = [jnp.clip((c - lo) * inv * 128.0, 0.0, 127.0
-                          ).astype(jnp.int32)
-                 for c, lo, inv in ((cox, world_lo[0], world_inv_span[0]),
-                                    (coy, world_lo[1], world_inv_span[1]),
-                                    (coz, world_lo[2], world_inv_span[2]))]
-            morton = ((_expand3_k(q[0]) << 2) | (_expand3_k(q[1]) << 1)
-                      | _expand3_k(q[2]))
-            mag = jnp.maximum(jnp.maximum(jnp.abs(cdx), jnp.abs(cdy)),
-                              jnp.abs(cdz))
-            mag = jnp.maximum(mag, 1e-30)
-            qd = [jnp.clip((c / mag + 1.0) * 2.0, 0.0, 3.0
-                           ).astype(jnp.int32)
-                  for c in (cdx, cdy, cdz)]
-            dirbin = (qd[0] << 4) | (qd[1] << 2) | qd[2]
-            key = (dirbin << 15) | (morton >> 6)
-            emit(jnp.where(hit, key, jnp.int32(2 ** 30)))
-        else:
-            emit(jnp.where(hit, jnp.int32(0), jnp.int32(2 ** 30)))
+        out_i = n_direct
+
+        def emit(tile):
+            nonlocal out_i
+            outs[out_i][:, :] = tile
+            out_i += 1
+
+        # shadow rays per light (prepare_shade: origin offset along the
+        # UNNORMALIZED to-light dir; facing via the normalized one)
+        for li in range(L):
+            tlx = light_ref[li, 0] - hpx
+            tly = light_ref[li, 1] - hpy
+            tlz = light_ref[li, 2] - hpz
+            tnx, tny, tnz = _norm3(tlx, tly, tlz)
+            dln = nx_ * tnx + ny_ * tny + nz_ * tnz
+            salive = hit & (dln >= 0.0)
+            emit(jnp.where(salive, hpx + SHADOW_OFFSET * tlx, DEAD_ORIGIN))
+            emit(jnp.where(salive, hpy + SHADOW_OFFSET * tly, DEAD_ORIGIN))
+            emit(jnp.where(salive, hpz + SHADOW_OFFSET * tlz, DEAD_ORIGIN))
+            emit(jnp.where(salive, tlx, 1.0))
+            emit(jnp.where(salive, tly, 1.0))
+            emit(jnp.where(salive, tlz, 1.0))
+
+        # child bounce rays (wavefront child-gen: hemisphere_from_gaussian
+        # + HIT_OFFSET spawn + dead-masking + dir6/dir9 sort key)
+        for j in range(b):
+            gx, gy, gz = (gauss[3 * j][:], gauss[3 * j + 1][:],
+                          gauss[3 * j + 2][:])
+            ux, uy, uz = _norm3(gx, gy, gz)
+            gdot = ux * nx_ + uy * ny_ + uz * nz_
+            flip = gdot < 0.0
+            cdx = jnp.where(flip, -ux, ux)
+            cdy = jnp.where(flip, -uy, uy)
+            cdz = jnp.where(flip, -uz, uz)
+            cox = hpx + HIT_OFFSET * cdx
+            coy = hpy + HIT_OFFSET * cdy
+            coz = hpz + HIT_OFFSET * cdz
+            emit(jnp.where(hit, cox, DEAD_ORIGIN))
+            emit(jnp.where(hit, coy, DEAD_ORIGIN))
+            emit(jnp.where(hit, coz, DEAD_ORIGIN))
+            emit(jnp.where(hit, cdx, 1.0))
+            emit(jnp.where(hit, cdy, 1.0))
+            emit(jnp.where(hit, cdz, 1.0))
+            if key_mode in ("dir6", "dir9"):
+                # wavefront._sort_key: direction bins major, origin
+                # Morton minor.  dir6 = 64 bins + 15-bit Morton; dir9 =
+                # 512 bins + full 21-bit Morton (pooled wavefronts fill
+                # finer bins).
+                q = [jnp.clip((c - lo) * inv * 128.0, 0.0, 127.0
+                              ).astype(jnp.int32)
+                     for c, lo, inv in
+                     ((cox, world_lo[0], world_inv_span[0]),
+                      (coy, world_lo[1], world_inv_span[1]),
+                      (coz, world_lo[2], world_inv_span[2]))]
+                morton = ((_expand3_k(q[0]) << 2) | (_expand3_k(q[1]) << 1)
+                          | _expand3_k(q[2]))
+                mag = jnp.maximum(jnp.maximum(jnp.abs(cdx), jnp.abs(cdy)),
+                                  jnp.abs(cdz))
+                mag = jnp.maximum(mag, 1e-30)
+                bits = 2 if key_mode == "dir6" else 3
+                hi = float(2 ** bits - 1)
+                qd = [jnp.clip((c / mag + 1.0) * (2.0 ** (bits - 1)),
+                               0.0, hi).astype(jnp.int32)
+                      for c in (cdx, cdy, cdz)]
+                dirbin = (qd[0] << (2 * bits)) | (qd[1] << bits) | qd[2]
+                if key_mode == "dir6":
+                    key = (dirbin << 15) | (morton >> 6)
+                else:
+                    key = (dirbin << 21) | morton
+                emit(jnp.where(hit, key, jnp.int32(2 ** 30)))
+            else:
+                emit(jnp.where(hit, jnp.int32(0), jnp.int32(2 ** 30)))
 
 
 def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
@@ -854,7 +871,8 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
     rr, rg, rb_ = rest[9:12]                 # radiance outputs
     (tent, mintent, mintent_sm, order_sm, sem, bt, bu, bv, bi) = rest[12:21]
     maxbest = rest[21]
-    stream_bufs = (rest[22:31], rest[31]) if stream else None
+    t8 = rest[22]                            # (8, RB) occlusion-t stash
+    stream_bufs = (rest[23:32], rest[32]) if stream else None
 
     RB = ox_ref.shape[1]
     row = pl.program_id(1)
@@ -868,37 +886,38 @@ def _shadow_shade_kernel(t_min, t_max, G, S, exact_order, L, nbp, pow_spec,
               tent, mintent, mintent_sm, order_sm, sem,
               bt, bu, bv, bi, (), maxbest, stream_bufs=stream_bufs)
 
-    # --- epilogue: finish_shade for this light, in (1, RB) ROW form
-    # (column ops waste 127/128 VPU lanes; see _spawn_kernel) ---
-    oxr = rows[0]
-    tlxr, tlyr, tlzr = rows[3], rows[4], rows[5]
-    salive = jnp.abs(oxr) < _ALIVE_LIMIT     # hit & facing, from spawn
+    t8[pl.ds(row, 1), :] = bt[:].reshape(1, RB)
 
-    def prow(ref):
-        return ref[pl.ds(row, 1), :]
-
-    btr = bt[:].reshape(1, RB)
-    blocked = (btr < BIG_T) & (btr > t_min) & (btr < t_max)
-    nx_, ny_, nz_ = prow(nx_ref), prow(ny_ref), prow(nz_ref)
-    cr, cg, cb = prow(cx_ref), prow(cy_ref), prow(cz_ref)
-    vx, vy, vz = _norm3(prow(vx_ref), prow(vy_ref), prow(vz_ref))
-    tnx, tny, tnz = _norm3(tlxr, tlyr, tlzr)
-    dln = nx_ * tnx + ny_ * tny + nz_ * tnz
-    # reflect + unclamped even-power Phong (mod.rs:252-256, shade.pow32)
-    rx = 2.0 * dln * nx_ - tnx
-    ry = 2.0 * dln * ny_ - tny
-    rz = 2.0 * dln * nz_ - tnz
-    s = vx * rx + vy * ry + vz * rz
-    for _ in range(pow_spec):                # x^(2^pow_spec): 32 = 2^5
-        s = s * s
-    blk = pl.program_id(0) * 8 + row
-    li = blk // nbp if L > 1 else 0
-    lit = salive & ~blocked
-    for out, c, lc in ((rr, cr, lcol_ref[li, 0]),
-                       (rg, cg, lcol_ref[li, 1]),
-                       (rb_, cb, lcol_ref[li, 2])):
-        contrib = (c * dln + s) * lc
-        out[pl.ds(row, 1), :] = jnp.where(lit, contrib, 0.0)
+    # --- whole-tile epilogue: finish_shade for this light chunk, once
+    # per grid step over the (8, RB) tile (the round-4 per-block (1, RB)
+    # row form used 1 of 128 VPU lanes; see _spawn_kernel) ---
+    @pl.when(row == 7)
+    def _epilogue():
+        oxr = ox_ref[:]
+        tlxr, tlyr, tlzr = dx_ref[:], dy_ref[:], dz_ref[:]
+        salive = jnp.abs(oxr) < _ALIVE_LIMIT   # hit & facing, from spawn
+        btr = t8[:]
+        blocked = (btr < BIG_T) & (btr > t_min) & (btr < t_max)
+        nx_, ny_, nz_ = nx_ref[:], ny_ref[:], nz_ref[:]
+        cr, cg, cb = cx_ref[:], cy_ref[:], cz_ref[:]
+        vx, vy, vz = _norm3(vx_ref[:], vy_ref[:], vz_ref[:])
+        tnx, tny, tnz = _norm3(tlxr, tlyr, tlzr)
+        dln = nx_ * tnx + ny_ * tny + nz_ * tnz
+        # reflect + unclamped even-power Phong (mod.rs:252-256, pow32)
+        rx = 2.0 * dln * nx_ - tnx
+        ry = 2.0 * dln * ny_ - tny
+        rz = 2.0 * dln * nz_ - tnz
+        s = vx * rx + vy * ry + vz * rz
+        for _ in range(pow_spec):            # x^(2^pow_spec): 32 = 2^5
+            s = s * s
+        # all 8 blocks of a step share one light chunk (nbp % 8 == 0)
+        li = (pl.program_id(0) * 8) // nbp if L > 1 else 0
+        lit = salive & ~blocked
+        for out, c, lc in ((rr, cr, lcol_ref[li, 0]),
+                           (rg, cg, lcol_ref[li, 1]),
+                           (rb_, cb, lcol_ref[li, 2])):
+            contrib = (c * dln + s) * lc
+            out[:, :] = jnp.where(lit, contrib, 0.0)
 
 
 def _plane_spec(RB):
@@ -1062,6 +1081,7 @@ def pallas_bvh_shadow_shade(so_planes, sd_planes, n_planes, c_planes,
         out_shape=tuple(jax.ShapeDtypeStruct((nbs, RB), jnp.float32)
                         for _ in range(3)),
         scratch_shapes=_common_scratch(K1, RB, 0)
+        + [pltpu.VMEM((8, RB), jnp.float32)]             # t8 tile stash
         + ([pltpu.VMEM((group, C), jnp.float32)] * 9
            + [pltpu.SemaphoreType.DMA(())] if stream else []),
         interpret=interpret,

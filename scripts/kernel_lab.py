@@ -187,20 +187,22 @@ def run_counters():
 
     for tag, (o, d) in (("L0 coherent", (o0, d0)),
                         (f"L1 sorted x{POOL}", (s1o, s1d))):
-        counts = counted_walk(o, d, isect)
-        v, m, alive_blocks = counts
+        v, m, alive_blocks, dt = counted_walk(o, d, isect)
         print(f"{tag}: blocks={len(v)} alive={alive_blocks}  "
               f"visits/blk mean={v.mean():.2f} p90={np.percentile(v,90):.0f} "
               f" leafMT/blk mean={m.mean():.2f} p90={np.percentile(m,90):.0f}"
               f" max={m.max()}", flush=True)
-        dt = timeit(lambda o=o, d=d: isect.query(None, o, d))
         nb = len(v)
-        print(f"   query: {dt*1e3:7.2f} ms  {dt/nb*1e6:6.2f} us/block "
-              f" ({o.shape[0]/dt/1e6:6.1f} Mq/s)", flush=True)
+        print(f"   walk: {dt*1e3:7.2f} ms  {dt/nb*1e6:6.2f} us/block "
+              f" ({o.shape[0]/dt/1e6:6.1f} Mq/s; counter overhead incl.)",
+              flush=True)
 
 
 def counted_walk(origins, dirs, isect):
-    """Copy of the production walk emitting per-block counters."""
+    """Copy of the production walk emitting per-block counters.  Ray
+    I/O is PLANE form, like the fused kernels: packed (R, 3) operands
+    tile-pad 3 -> 128 lanes on TPU (a 42.7x HBM expansion that OOMs at
+    pooled sizes)."""
     from raytracer_tpu.ops.pallas_bvh import _ALIVE_LIMIT
 
     v0, e1, e2 = isect.v0, isect.e1, isect.e2
@@ -218,26 +220,24 @@ def counted_walk(origins, dirs, isect):
     Rp = origins.shape[0]
     nb = Rp // RB
     planes = [a[:, :, c] for a in (v0, e1, e2) for c in range(3)]
+    o_planes = [origins[:, k].reshape(nb, RB) for k in range(3)]
+    d_planes = [dirs[:, k].reshape(nb, RB) for k in range(3)]
 
-    ob = origins.reshape(nb, RB, 3)
-    alive = jnp.any(jnp.abs(ob[:, :, 0]) < _ALIVE_LIMIT, axis=1)
+    alive = jnp.any(jnp.abs(o_planes[0]) < _ALIVE_LIMIT, axis=1)
 
-    def kernel(order_ref, o_ref, d_ref, sc_aabb_ref,
+    def kernel(order_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               sc_aabb_ref,
                seg_aabb_ref, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                cnt_out, tent, mintent, mintent_sm, order_sm, sem,
                bt, maxbest, nv_sm, nm_sm):
         row = pl.program_id(1)
-        o = o_ref[:]
-        d = d_ref[:]
-        ox = o[:, 0:1]
-        oxr, oyr, ozr = (o[:, 0].reshape(1, RB), o[:, 1].reshape(1, RB),
-                         o[:, 2].reshape(1, RB))
-        dxr, dyr, dzr = (d[:, 0].reshape(1, RB), d[:, 1].reshape(1, RB),
-                         d[:, 2].reshape(1, RB))
+        rows = tuple(r[pl.ds(row, 1), :]
+                     for r in (ox_ref, oy_ref, oz_ref,
+                               dx_ref, dy_ref, dz_ref))
+        oxr, oyr, ozr, dxr, dyr, dzr = rows
+        ox, oy, oz, dx, dy, dz = (r.reshape(RB, 1) for r in rows)
         from raytracer_tpu.ops.pallas_bvh import _safe_inv
         idxr, idyr, idzr = _safe_inv(dxr), _safe_inv(dyr), _safe_inv(dzr)
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-        oy, oz = o[:, 1:2], o[:, 2:3]
         bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
         alive_row = jnp.abs(ox) < _ALIVE_LIMIT
         maxbest[0, 0] = jnp.float32(BIG_T)
@@ -362,20 +362,20 @@ def counted_walk(origins, dirs, isect):
             jnp.where(lanes == 1, nm_sm[0, 0], 0))
 
     grid = (nb // 8, 8)
-    ray_spec = pl.BlockSpec((RB, 3), lambda i, j: (i * 8 + j, 0),
-                            memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((8, RB), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((NL, C), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
-    cnt = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((6, K1), lambda i, j: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  ray_spec, ray_spec,
-                  pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM)] + [tri_spec] * 9,
+                               memory_space=pltpu.SMEM)]
+        + [pspec] * 6
+        + [pl.BlockSpec((K1, 8), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((NL * S, 8), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM)] + [tri_spec] * 9,
         out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 128), jnp.int32),
@@ -388,9 +388,13 @@ def counted_walk(origins, dirs, isect):
                         pltpu.SMEM((1, 1), jnp.float32),
                         pltpu.SMEM((1, 1), jnp.int32),
                         pltpu.SMEM((1, 1), jnp.int32)],
-    )(orders, origins, dirs, sc_aabb, seg_aabb, *planes)
-    cnt = np.asarray(cnt)
-    return cnt[:, 0], cnt[:, 1], int(np.asarray(alive).sum())
+    )
+    run = jax.jit(call)
+    cnt = np.asarray(run(orders, *o_planes, *d_planes,
+                         sc_aabb, seg_aabb, *planes))
+    dt = timeit(lambda: run(orders, *o_planes, *d_planes,
+                            sc_aabb, seg_aabb, *planes))
+    return cnt[:, 0], cnt[:, 1], int(np.asarray(alive).sum()), dt
 
 
 if __name__ == "__main__":

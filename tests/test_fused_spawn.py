@@ -115,6 +115,20 @@ def test_fused_spawn_streaming_matches_resident(data_dir):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sort_payload_gather_matches_ride(data_dir):
+    """sort_payload="gather" (sort (key, position), then gather the
+    payload columns once) must be BIT-IDENTICAL to the payload-riding
+    sort: lax.sort is stable, so the permutation is the same."""
+    scene, o, d, kt, isect = _setup(data_dir)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(trace_radiance_fused(scene, o, d, kt, isect,
+                                               recursions=2, spread=1))
+        got = np.asarray(trace_radiance_fused(scene, o, d, kt, isect,
+                                              recursions=2, spread=1,
+                                              sort_payload="gather"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pooled_fused_matches_per_sample(data_dir):
     """spp pooling (trace_radiance_fused pool=P): P samples' rays
     concatenated into one wavefront whose bounce sorts mix samples for
