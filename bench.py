@@ -41,6 +41,7 @@ SORTKEY = os.environ.get("BENCH_SORTKEY", "dir6")
 POOL = (int(os.environ["BENCH_POOL"])
         if os.environ.get("BENCH_POOL") else None)
 SORT_PAYLOAD = os.environ.get("BENCH_SORT_PAYLOAD", "ride")
+RNG_IMPL = os.environ.get("BENCH_RNG", "threefry")
 TARGET_MRAYS = 100.0
 
 
@@ -57,7 +58,8 @@ def main():
                                         sort_key_mode=SORTKEY,
                                         accel_opts=ACCEL_OPTS,
                                         spp_pool=POOL,
-                                        sort_payload=SORT_PAYLOAD)
+                                        sort_payload=SORT_PAYLOAD,
+                                        rng_impl=RNG_IMPL)
     # warmup: compile the whole-frame step (retry once — the remote
     # compile tunnel occasionally drops a response mid-read)
     for attempt in (0, 1):

@@ -54,6 +54,7 @@ class RayTracer:
                  accel_opts: dict | None = None,
                  spp_pool: int | None = None,
                  sort_payload: str = "ride",
+                 rng_impl: str = "threefry",
                  seed: int = 0):
         self.width = width
         self.height = height
@@ -74,10 +75,20 @@ class RayTracer:
         self.intersector = intersector or make_intersector(
             accel, self.scene_buffers, triangles_per_leaf=triangles_per_leaf,
             **(accel_opts or {}))
-        self._key = jax.random.PRNGKey(seed)
+        # "threefry" (default) is JAX's reference PRNG; "rbg" swaps in
+        # the TPU-native rng_bit_generator (cheaper draws — the threefry
+        # Gaussians cost ~19 ms/frame at 1 spp, round-4 trace).  Both
+        # wavefront paths draw from the same keys, so fused/unfused and
+        # pooled/unpooled equivalences hold under either impl; absolute
+        # images differ between impls.
+        if rng_impl == "threefry":
+            self._key = jax.random.PRNGKey(seed)
+        else:
+            self._key = jax.random.key(seed, impl=rng_impl)
         self._row_block_cache = {}
         self._sharded_render = None
         self._sharded_mesh = None
+        self._sharded_pool = None
         self._step = self._make_step()
         self._frame_steps = {}
         # spp pooling: render `pool` spp samples per wavefront so every
@@ -110,9 +121,13 @@ class RayTracer:
                 self.scene_arrays, self.intersector.perm,
                 self.intersector.perm.shape[0])
             if hasattr(self.intersector, "set_shade_records"):
-                # normal xyz + diffuse rgb (+ tex id for textured scenes)
+                # compact "mat" record format: normal xyz + material id
+                # (4 in-kernel extractions per MT row; diffuse/tex
+                # resolve from the material tables in XLA)
+                rec = self._slot_records
                 self.intersector.set_shade_records(
-                    self._slot_records[:, :7 if has_tex else 6])
+                    jnp.concatenate([rec[:, 0:3], rec[:, 7:8]], axis=1),
+                    fmt="mat", textured=has_tex)
         fused = bool(getattr(self.intersector, "supports_fused_shade", False))
         return self._slot_records, has_tex, fused
 
@@ -366,17 +381,22 @@ class RayTracer:
         from raytracer_tpu.parallel.render import (
             _per_device_keys, make_sharded_frame_loop, pixel_grid)
         mesh = mesh or make_mesh()
-        if self._sharded_render is None or self._sharded_mesh is not mesh:
+        fused_spawn = bool(getattr(self.intersector,
+                                   "supports_fused_spawn", False))
+        pool = self._choose_pool(spp) if fused_spawn else 1
+        if (self._sharded_render is None or self._sharded_mesh is not mesh
+                or self._sharded_pool != pool):
             records, has_tex, fused = self._shade_fast_args()
             self._sharded_render = make_sharded_frame_loop(
                 mesh, self.intersector, self.width, self.height,
                 self.recursions, self.spread,
                 shade_records=records, has_textures=has_tex,
                 fused_shade=fused,
-                fused_spawn=bool(getattr(self.intersector,
-                                         "supports_fused_spawn", False)),
-                sort_key_mode=self.sort_key_mode)
+                fused_spawn=fused_spawn,
+                sort_key_mode=self.sort_key_mode,
+                spp_pool=pool, sort_payload=self.sort_payload)
             self._sharded_mesh = mesh
+            self._sharded_pool = pool
         px, py, real = pixel_grid(self.width, self.height,
                                   pad_to=mesh.devices.size)
         keys = _per_device_keys(self._next_key(), mesh)

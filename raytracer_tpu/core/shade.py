@@ -72,9 +72,13 @@ def sample_diffuse(scene, tri_idx, u, v):
 def build_slot_records(scene, perm, num_slots):
     """Packed per-slot shading records for the forward fast path:
     one (S, 8) row per intersector slot = [unit normal (3), diffuse rgb
-    (3), tex_id (1), pad].  Built once on device (the gathers here run
-    once per scene, not once per ray), so `prepare_shade_fast` needs a
-    single (R, 8) row gather per level instead of five scattered ones.
+    (3), tex_id (1), material/geometry id (1)].  Built once on device
+    (the gathers here run once per scene, not once per ray), so
+    `prepare_shade_fast` needs a single (R, 8) row gather per level
+    instead of five scattered ones.  Column 7 (the material id) backs
+    the compact in-kernel record format: the fused kernels extract
+    [normal, matid] only, and the driver resolves diffuse/texture from
+    the tiny per-material tables in XLA.
 
     NOT differentiable w.r.t. scene parameters by design — training
     paths use `prepare_shade`, which reads the live scene arrays.
@@ -87,8 +91,8 @@ def build_slot_records(scene, perm, num_slots):
     geom = scene.tri_geom[safe]
     rgb = scene.mat_diffuse_rgb[geom]                       # (S, 3)
     tex = scene.mat_tex_id[geom].astype(jnp.float32)        # (S,)
-    pad = jnp.zeros_like(tex)
-    return jnp.concatenate([n, rgb, tex[:, None], pad[:, None]], axis=1)
+    gid = geom.astype(jnp.float32)
+    return jnp.concatenate([n, rgb, tex[:, None], gid[:, None]], axis=1)
 
 
 def prepare_shade_fused(scene, origins, dirs, hit, has_textures):

@@ -396,14 +396,29 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                                      if sort_key_mode in ("dir6", "dir9")
                                      else "none"))
 
-        # textured scenes: the kernel emits barycentric u/v and a tex-id
-        # record plane; the nearest-neighbour texel fetch (the only
-        # scattered lookup) runs here in XLA, exactly the
-        # prepare_shade_fused semantics (mod.rs:244-247, texture.rs:21-27)
-        if getattr(isect, "fused_has_textures", False):
+        # Diffuse resolution between spawn and shadow-shade, in XLA:
+        # - "mat" records: the kernel extracted [normal, material id]
+        #   only; diffuse rgb (and tex id) come from the tiny
+        #   per-material tables via an (R,)-row gather — far cheaper
+        #   than 2-3 extra masked (RB, C) reductions per MT'd row.
+        # - textured scenes: the kernel also emitted barycentric u/v;
+        #   the nearest-neighbour texel fetch (the only scattered
+        #   lookup) runs here with prepare_shade_fused semantics
+        #   (mod.rs:244-247, texture.rs:21-27).
+        mat_fmt = getattr(isect, "rec_format", "full") == "mat"
+        has_tex = getattr(isect, "fused_has_textures", False)
+        if mat_fmt:
+            mid = sres["rec"][3].reshape(n_rays).astype(jnp.int32)
+            base_rgb = scene.mat_diffuse_rgb[mid]            # (R, 3)
+        else:
+            base_rgb = None
+        if has_tex:
             uu = sres["u"].reshape(n_rays)
             vv = sres["v"].reshape(n_rays)
-            tid = sres["rec"][6].reshape(n_rays).astype(jnp.int32)
+            if mat_fmt:
+                tid = scene.mat_tex_id[mid]
+            else:
+                tid = sres["rec"][6].reshape(n_rays).astype(jnp.int32)
             safe_tex = jnp.maximum(tid, 0)
             hw = scene.tex_hw[safe_tex]
             th, tw = hw[:, 0], hw[:, 1]
@@ -413,9 +428,15 @@ def trace_radiance_fused(scene, origins, dirs, key, isect,
                          0, th - 1)
             texel = scene.tex_atlas[safe_tex, y, x]          # (R, 3)
             use_tex = tid >= 0
-            c_planes = [jnp.where(use_tex, texel[:, k],
-                                  sres["rec"][3 + k].reshape(n_rays)
+            if base_rgb is None:
+                base_cols = [sres["rec"][3 + k].reshape(n_rays)
+                             for k in range(3)]
+            else:
+                base_cols = [base_rgb[:, k] for k in range(3)]
+            c_planes = [jnp.where(use_tex, texel[:, k], base_cols[k]
                                   ).reshape(nb_l, RB) for k in range(3)]
+        elif mat_fmt:
+            c_planes = [base_rgb[:, k].reshape(nb_l, RB) for k in range(3)]
         else:
             c_planes = sres["rec"][3:6]
 

@@ -87,7 +87,8 @@ def _traverse(limit, shadow, G, S, exact_order,
               cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
-              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=None):
+              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=None,
+              extract_uvi=True):
     """The shared two-level walk: initializes the per-ray accumulators
     (bt/bu/bv/bi/rec_acc, maxbest) and runs the gated supercluster ->
     segment-row -> Möller–Trumbore traversal for one ray block.
@@ -115,9 +116,10 @@ def _traverse(limit, shadow, G, S, exact_order,
 
     bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
     if not shadow:
-        bu[:] = jnp.zeros((RB, 1), jnp.float32)
-        bv[:] = jnp.zeros((RB, 1), jnp.float32)
-        bi[:] = jnp.zeros((RB, 1), jnp.int32)
+        if extract_uvi:
+            bu[:] = jnp.zeros((RB, 1), jnp.float32)
+            bv[:] = jnp.zeros((RB, 1), jnp.float32)
+            bi[:] = jnp.zeros((RB, 1), jnp.int32)
         for acc in rec_acc:
             acc[:] = jnp.zeros((RB, 1), jnp.float32)
 
@@ -231,16 +233,22 @@ def _traverse(limit, shadow, G, S, exact_order,
 
             tmin_row = jnp.min(tt, axis=1, keepdims=True)      # (RB, 1)
             better = tmin_row < bt[:]
-            if not shadow:
+            if not shadow and (extract_uvi or rec_planes):
                 jhot = (tt == tmin_row) & (tmin_row < BIG_T)
                 jfirst = jnp.min(jnp.where(jhot, lane, C), axis=1,
                                  keepdims=True)
                 sel = lane == jfirst
+            if not shadow and extract_uvi:
+                # u/v/slot-index extraction — skipped by the fused spawn
+                # on texture-free scenes (records carry everything it
+                # needs; each masked (RB, C) reduction here is a
+                # significant share of a row's MT cost)
                 uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1, keepdims=True)
                 vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1, keepdims=True)
                 bu[:] = jnp.where(better, uj, bu[:])
                 bv[:] = jnp.where(better, vj, bv[:])
                 bi[:] = jnp.where(better, leaf * C + jfirst, bi[:])
+            if not shadow:
                 # shading-record epilogue: extract the winning triangle's
                 # packed record values (normal/diffuse[/tex]) through the
                 # same one-hot mask — kills the post-hoc (R, n_rec)
@@ -539,16 +547,33 @@ class BVHIntersector:
         # optional fused-shade record planes (set_shade_records): each
         # (NL, C) f32, extracted in-kernel for the forward fast path
         self.shade_planes = None
+        self.rec_format = "full"
+        self._rec_textured = None
 
-    def set_shade_records(self, records):
+    def set_shade_records(self, records, fmt: str = "full",
+                          textured: bool | None = None):
         """Install packed per-slot shading records (S, n) — e.g.
         shade.build_slot_records — as (NL, C) planes for the in-kernel
-        winning-record epilogue.  S must equal NL * C."""
+        winning-record epilogue.  S must equal NL * C.
+
+        fmt="full": columns are [normal(3), diffuse(3)[, tex_id]] and
+        the kernel extracts all of them (6-7 masked reductions per MT
+        row).  fmt="mat": columns are [normal(3), material id] — 4
+        reductions; the driver resolves diffuse rgb (and tex id) from
+        the per-material tables in XLA, which costs one tiny-table
+        gather per level and saves 2-3 (RB, C) reductions per MT'd
+        row.  `textured` (mat format) says whether the driver needs
+        the barycentric u/v planes for a texel fetch."""
         NL, C, _ = self.v0.shape
         records = jnp.asarray(records)
         assert records.shape[0] == NL * C, (records.shape, NL, C)
+        assert fmt in ("full", "mat")
+        if fmt == "mat":
+            assert records.shape[1] == 4
         self.shade_planes = tuple(records[:, k].reshape(NL, C)
                                   for k in range(records.shape[1]))
+        self.rec_format = fmt
+        self._rec_textured = bool(textured) if textured is not None else None
 
     @property
     def supports_fused_shade(self):
@@ -556,24 +581,30 @@ class BVHIntersector:
 
     @property
     def supports_fused_spawn(self):
-        """Whole-level fusion (pallas_bvh_spawn/shadow_shade): 6 record
-        planes (normal + diffuse) for texture-free scenes, 7 (+ tex id)
-        for textured ones — the spawn kernel then also emits the
-        barycentric u/v planes and the texel fetch runs in XLA between
-        spawn and shadow-shade (reference texturing: mod.rs:244-247,
-        texture.rs:21-27).  Streaming scenes (HBM-resident planes) keep
-        the fused path: the record planes stream alongside the
-        triangles."""
-        return (self.use_pallas
-                and self.shade_planes is not None
-                and len(self.shade_planes) in (6, 7))
+        """Whole-level fusion (pallas_bvh_spawn/shadow_shade): "full"
+        records need 6 planes (normal + diffuse) for texture-free
+        scenes or 7 (+ tex id) for textured ones; "mat" records need 4
+        (normal + material id).  Textured scenes additionally emit the
+        winning hit's barycentric u/v planes and the texel fetch runs
+        in XLA between spawn and shadow-shade (reference texturing:
+        mod.rs:244-247, texture.rs:21-27).  Streaming scenes
+        (HBM-resident planes) keep the fused path: the record planes
+        stream alongside the triangles."""
+        if not self.use_pallas or self.shade_planes is None:
+            return False
+        if getattr(self, "rec_format", "full") == "mat":
+            return len(self.shade_planes) == 4
+        return len(self.shade_planes) in (6, 7)
 
     @property
     def fused_has_textures(self):
-        """True when the fused-spawn records carry a tex-id plane (the
-        driver must fetch texels between spawn and shadow_shade)."""
-        return (self.shade_planes is not None
-                and len(self.shade_planes) == 7)
+        """True when the fused-spawn driver must fetch texels between
+        spawn and shadow_shade (the spawn kernel then also emits u/v)."""
+        if self.shade_planes is None:
+            return False
+        if getattr(self, "rec_format", "full") == "mat":
+            return bool(self._rec_textured)
+        return len(self.shade_planes) == 7
 
     def spawn(self, o_planes, d_planes, gauss_planes, light_pos,
               children: int, key_mode: str = "dir6"):
@@ -750,7 +781,8 @@ def _spawn_kernel(limit, G, S, exact_order, n_rec, L, b, emit_uv, key_mode,
               order_ref, cols, rows,
               sc_aabb_ref, seg_aabb_ref, planes, rec_planes,
               tent, mintent, mintent_sm, order_sm, sem,
-              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs)
+              bt, bu, bv, bi, rec_acc, maxbest, stream_bufs=stream_bufs,
+              extract_uvi=emit_uv)
 
     # write this block's traversal results straight into the (8, RB)
     # output windows (t, [u, v], records) — the epilogue reads them back

@@ -76,7 +76,9 @@ def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
                             shade_records=None, has_textures: bool = True,
                             fused_shade: bool = False,
                             fused_spawn: bool = False,
-                            sort_key_mode: str = "dir6"):
+                            sort_key_mode: str = "dir6",
+                            spp_pool: int = 1,
+                            sort_payload: str = "ride"):
     """Whole-frame multi-spp render with pixels sharded over the mesh:
     the spp loop and film-moment accumulation run ON DEVICE (one dispatch
     per call, like the single-chip `RayTracer._make_frame_step`), instead
@@ -85,22 +87,49 @@ def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
     Returns frame(scene, cam, px, py, keys, spp) -> (psum, psq), both
     (R, 3) sharded over rays: the per-pixel radiance sum and sum of
     squares over `spp` samples.  Each device folds its own key stream
-    per sample (keys: (n_dev, 2) from `_per_device_keys`)."""
+    per sample (keys: (n_dev, 2) from `_per_device_keys`).
+
+    spp_pool > 1 (requires fused_spawn, spp divisible by the pool):
+    each loop iteration renders `spp_pool` samples in one pooled
+    wavefront per device — the single-chip spp-pooling, per shard; the
+    key chain matches `spp_pool` unpooled iterations exactly."""
+    assert spp_pool == 1 or fused_spawn
 
     def local(scene, cam, px, py, keys, spp):
         key = keys[0]
         r = px.shape[0]
 
-        def body(_, carry):
-            psum, psq, key = carry
+        def sample_rays(key):
             key, k = jax.random.split(key)
             kj, kt = jax.random.split(k)
             jitter = jax.random.uniform(kj, (r, 2), dtype=jnp.float32)
-            origins, dirs = generate_rays(cam, px, py, jitter, width, height)
+            origins, dirs = generate_rays(cam, px, py, jitter,
+                                          width, height)
+            return key, kt, origins, dirs
+
+        def body(_, carry):
+            psum, psq, key = carry
+            if spp_pool > 1:
+                os_, ds_, kts = [], [], []
+                for _ in range(spp_pool):
+                    key, kt, o, d = sample_rays(key)
+                    os_.append(o)
+                    ds_.append(d)
+                    kts.append(kt)
+                rad = trace_radiance_fused(
+                    scene, jnp.concatenate(os_), jnp.concatenate(ds_),
+                    jnp.stack(kts), intersector, recursions, spread,
+                    sort_key_mode=sort_key_mode, pool=spp_pool,
+                    sort_payload=sort_payload)
+                radp = rad.reshape(spp_pool, r, 3)
+                return (psum + radp.sum(axis=0),
+                        psq + (radp * radp).sum(axis=0), key)
+            key, kt, origins, dirs = sample_rays(key)
             if fused_spawn:
                 rad = trace_radiance_fused(scene, origins, dirs, kt,
                                            intersector, recursions, spread,
-                                           sort_key_mode=sort_key_mode)
+                                           sort_key_mode=sort_key_mode,
+                                           sort_payload=sort_payload)
             else:
                 rad = trace_radiance(scene, origins, dirs, kt, intersector,
                                      recursions, spread,
@@ -112,7 +141,7 @@ def make_sharded_frame_loop(mesh, intersector, width: int, height: int,
 
         init = (jnp.zeros((r, 3), jnp.float32),
                 jnp.zeros((r, 3), jnp.float32), key)
-        psum, psq, _ = jax.lax.fori_loop(0, spp, body, init)
+        psum, psq, _ = jax.lax.fori_loop(0, spp // spp_pool, body, init)
         return psum, psq
 
     sharded = shard_map(
