@@ -121,13 +121,14 @@ class RayTracer:
                 self.scene_arrays, self.intersector.perm,
                 self.intersector.perm.shape[0])
             if hasattr(self.intersector, "set_shade_records"):
-                # compact "mat" record format: normal xyz + material id
-                # (4 in-kernel extractions per MT row; diffuse/tex
-                # resolve from the material tables in XLA)
-                rec = self._slot_records
+                # full record format: normal xyz + diffuse rgb (+ tex
+                # id).  The compact "mat" format (normal + material id,
+                # diffuse via an XLA table gather) measured 2.72 vs
+                # 2.82 Mrays/s on thai2 (round 5) — the masked (RB, C)
+                # record reductions are effectively free on the VPU
+                # while the 16.7M-row table gather is not.
                 self.intersector.set_shade_records(
-                    jnp.concatenate([rec[:, 0:3], rec[:, 7:8]], axis=1),
-                    fmt="mat", textured=has_tex)
+                    self._slot_records[:, :7 if has_tex else 6])
         fused = bool(getattr(self.intersector, "supports_fused_shade", False))
         return self._slot_records, has_tex, fused
 

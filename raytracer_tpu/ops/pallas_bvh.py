@@ -297,17 +297,12 @@ def _traverse(limit, shadow, G, S, exact_order,
             tent2 = jnp.where((smax >= smin) & (smax > 0.0),
                               smin, BIG_T)                 # (G*S, RB)
 
-            # per-segment block-entry minima -> scalars; per-row key =
-            # min over the row's S segments (= entry into the union of
-            # its segment boxes, tighter than one fat row AABB)
-            mseg = jnp.min(tent2, axis=1, keepdims=True)   # (G*S, 1)
-            msc = [mseg[j, 0] for j in range(G * S)]
-            ms = []
-            for l in range(G):
-                m = msc[l * S]
-                for s in range(1, S):
-                    m = jnp.minimum(m, msc[l * S + s])
-                ms.append(m)
+            # per-row key = min over the row's S segments and the block
+            # (= entry into the union of its segment boxes, tighter
+            # than one fat row AABB).  One full (S, RB) vector
+            # reduction per row — the round-4 form (32 vector->scalar
+            # extracts + 24 scalar mins) serialized on the scalar unit.
+            ms = [jnp.min(tent2[l * S:(l + 1) * S, :]) for l in range(G)]
             ls = [jnp.int32(l) for l in range(G)]
             # front-to-back row order so the earliest rows tighten
             # maxbest before the rest are gated

@@ -397,9 +397,86 @@ def counted_walk(origins, dirs, isect):
     return cnt[:, 0], cnt[:, 1], int(np.asarray(alive).sum()), dt
 
 
+def run_phases():
+    """Per-block cost of the walk's FIXED phases, each isolated in a
+    minimal kernel over the same grid shape the production kernel uses
+    (1024 blocks x 8 rows): the VMEM->SMEM mintent DMA round-trip, a
+    76-op scalar select chain (the row sort network's cost shape), the
+    K1-supercluster slab phase, and an empty baseline.  Attributes the
+    gap between pure-MT cost and the production per-block time."""
+    rng = np.random.default_rng(0)
+    K1 = 10
+    nb = 8192
+    o = jnp.asarray(rng.random((nb, RB)), jnp.float32)
+
+    def make(kind):
+        def kernel(o_ref, out_ref, tent, mintent, mintent_sm, sem, acc_sm):
+            row = pl.program_id(1)
+            x = o_ref[pl.ds(row, 1), :]
+            if kind == "slab":
+                # K1-box slab-ish arithmetic: ~6 mul + 6 minmax rows
+                t = x * 1.0001
+                for _ in range(K1):
+                    t = jnp.maximum(t * 0.999, x)
+                out_ref[pl.ds(row, 1), :] = t
+            elif kind == "dma":
+                mintent[:] = jnp.broadcast_to(x[0, 0:1], (K1, 1))
+                cp = pltpu.make_async_copy(mintent, mintent_sm, sem)
+                cp.start()
+                cp.wait()
+                out_ref[pl.ds(row, 1), :] = x + mintent_sm[0, 0]
+            elif kind == "scalars":
+                # 19-comparator x 4-select scalar chain (row sort shape)
+                ms = [x[0, j] for j in range(8)]
+                ls = [jnp.int32(j) for j in range(8)]
+                for (i, j) in _SORT_NET_8:
+                    swap = ms[i] > ms[j]
+                    ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
+                                    jnp.where(swap, ms[i], ms[j]))
+                    ls[i], ls[j] = (jnp.where(swap, ls[j], ls[i]),
+                                    jnp.where(swap, ls[i], ls[j]))
+                s = ms[0]
+                for v in ms[1:]:
+                    s = s + v
+                out_ref[pl.ds(row, 1), :] = x + s
+            elif kind == "reduce8":
+                # 8 full vector->scalar reductions (the vectorized
+                # per-row segment-min shape)
+                s = jnp.float32(0)
+                for l in range(8):
+                    s = s + jnp.min(x * (1.0 + l))
+                out_ref[pl.ds(row, 1), :] = x + s
+            else:  # empty
+                out_ref[pl.ds(row, 1), :] = x
+        return kernel
+
+    _SORT_NET_8 = _SORT_NET[8]
+    for kind in ("empty", "slab", "dma", "scalars", "reduce8"):
+        call = pl.pallas_call(
+            make(kind),
+            grid=(nb // 8, 8),
+            in_specs=[pl.BlockSpec((8, RB), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, RB), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, RB), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((K1, RB), jnp.float32),
+                            pltpu.VMEM((K1, 1), jnp.float32),
+                            pltpu.SMEM((K1, 1), jnp.float32),
+                            pltpu.SemaphoreType.DMA(()),
+                            pltpu.SMEM((1, 1), jnp.float32)],
+        )
+        run = jax.jit(call)
+        dt = timeit(lambda: run(o))
+        print(f"phase {kind:8s}: {dt/nb*1e6:7.3f} us/block "
+              f"({dt*1e3:7.2f} ms total)", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("mt", "all"):
         run_mt()
     if what in ("counters", "all"):
         run_counters()
+    if what in ("phases", "all"):
+        run_phases()
