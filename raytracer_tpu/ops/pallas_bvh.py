@@ -127,36 +127,12 @@ def _traverse(limit, shadow, G, S, exact_order,
     # the block's culling threshold at BIG_T
     alive_row = jnp.abs(ox) < _ALIVE_LIMIT               # (RB, 1) bool
 
-    # Per-ray root-exit bound (round 5): every supercluster interval is
-    # contained in the ray's interval with the ROOT box (the union of
-    # all supercluster AABBs), so no hit can lie past the ray's root
-    # exit.  Bounding each ray by min(best-t, root-exit) means rays
-    # that MISS everything (best-t pinned at BIG_T) no longer disable
-    # the block's early exit — without this, one miss ray forces the
-    # whole block to walk and MT every gated row to the t-limit.
-    # Exact, not a heuristic.
-    rlx = jnp.min(sc_aabb_ref[:, 0])
-    rly = jnp.min(sc_aabb_ref[:, 1])
-    rlz = jnp.min(sc_aabb_ref[:, 2])
-    rhx = jnp.max(sc_aabb_ref[:, 3])
-    rhy = jnp.max(sc_aabb_ref[:, 4])
-    rhz = jnp.max(sc_aabb_ref[:, 5])
-    icx, icy, icz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    bx1, bx2 = (rlx - ox) * icx, (rhx - ox) * icx
-    by1, by2 = (rly - oy) * icy, (rhy - oy) * icy
-    bz1, bz2 = (rlz - oz) * icz, (rhz - oz) * icz
-    rmin = jnp.maximum(jnp.maximum(jnp.minimum(bx1, bx2),
-                                   jnp.minimum(by1, by2)),
-                       jnp.minimum(bz1, bz2))
-    rmax = jnp.minimum(jnp.minimum(jnp.maximum(bx1, bx2),
-                                   jnp.maximum(by1, by2)),
-                       jnp.maximum(bz1, bz2))
-    # inflate by ~2 ulp: a hit can land EXACTLY on the exit plane
-    # (t == rmax) and the walk's skip test is strict, so the bound
-    # must be effectively inclusive (degenerate flat boxes exercise
-    # this; see test_bvh_axis_parallel_rays_zero_direction)
-    ubound = jnp.where((rmax >= rmin) & (rmax > 0.0),
-                       rmax * (1.0 + 3e-7) + 1e-37, 0.0)
+    # NOTE (round 5, measured and REVERTED): bounding each ray's
+    # contribution to the early-exit threshold by its root-box exit
+    # distance (so miss rays don't pin maxbest at BIG_T) does NOT cut
+    # MT volume — the slab phase already culls superclusters a miss
+    # ray never intersects, so rows-MT stayed 3.49 vs 3.51 while the
+    # per-block setup cost 8% end-to-end (2.62 vs 2.84 Mrays/s).
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, C), dimension=1)
 
@@ -178,8 +154,7 @@ def _traverse(limit, shadow, G, S, exact_order,
         sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
         oidx = axis * 2 + (sgn < 0.0).astype(jnp.int32)
 
-    maxbest[0, 0] = jnp.minimum(
-        jnp.max(jnp.where(alive_row, ubound, 0.0)), jnp.float32(limit))
+    maxbest[0, 0] = jnp.float32(min(BIG_T, limit))
 
     @pl.when(alive_blk != 0)
     def _():
@@ -297,8 +272,7 @@ def _traverse(limit, shadow, G, S, exact_order,
                     acc[:] = jnp.where(better, pj, acc[:])
             bt[:] = jnp.where(better, tmin_row, bt[:])
             maxbest[0, 0] = jnp.minimum(
-                jnp.max(jnp.where(alive_row,
-                                  jnp.minimum(bt[:], ubound), 0.0)),
+                jnp.max(jnp.where(alive_row, bt[:], 0.0)),
                 jnp.float32(limit))
 
         def visit(kk):

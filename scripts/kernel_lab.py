@@ -238,25 +238,9 @@ def counted_walk(origins, dirs, isect):
         ox, oy, oz, dx, dy, dz = (r.reshape(RB, 1) for r in rows)
         from raytracer_tpu.ops.pallas_bvh import _safe_inv
         idxr, idyr, idzr = _safe_inv(dxr), _safe_inv(dyr), _safe_inv(dzr)
-        # per-ray root-exit bound, mirroring the production walk
-        rlo = [jnp.min(sc_aabb_ref[:, c]) for c in range(3)]
-        rhi = [jnp.max(sc_aabb_ref[:, 3 + c]) for c in range(3)]
-        icol = [_safe_inv(c) for c in (dx, dy, dz)]
-        b1 = [(rlo[c] - o_) * ic for c, (o_, ic) in
-              enumerate(zip((ox, oy, oz), icol))]
-        b2 = [(rhi[c] - o_) * ic for c, (o_, ic) in
-              enumerate(zip((ox, oy, oz), icol))]
-        rmn = jnp.maximum(jnp.maximum(jnp.minimum(b1[0], b2[0]),
-                                      jnp.minimum(b1[1], b2[1])),
-                          jnp.minimum(b1[2], b2[2]))
-        rmx = jnp.minimum(jnp.minimum(jnp.maximum(b1[0], b2[0]),
-                                      jnp.maximum(b1[1], b2[1])),
-                          jnp.maximum(b1[2], b2[2]))
-        ubound = jnp.where((rmx >= rmn) & (rmx > 0.0),
-                           rmx * (1.0 + 3e-7) + 1e-37, 0.0)
         bt[:] = jnp.full((RB, 1), BIG_T, jnp.float32)
         alive_row = jnp.abs(ox) < _ALIVE_LIMIT
-        maxbest[0, 0] = jnp.max(jnp.where(alive_row, ubound, 0.0))
+        maxbest[0, 0] = jnp.float32(BIG_T)
         nv_sm[0, 0] = 0
         nm_sm[0, 0] = 0
         # in-kernel block aliveness, like the production kernels
@@ -336,8 +320,7 @@ def counted_walk(origins, dirs, isect):
                 tmin_row = jnp.min(tt, axis=1, keepdims=True)
                 better = tmin_row < bt[:]
                 bt[:] = jnp.where(better, tmin_row, bt[:])
-                maxbest[0, 0] = jnp.max(
-                    jnp.where(alive_row, jnp.minimum(bt[:], ubound), 0.0))
+                maxbest[0, 0] = jnp.max(jnp.where(alive_row, bt[:], 0.0))
 
             def visit(kk):
                 nv_sm[0, 0] = nv_sm[0, 0] + 1
