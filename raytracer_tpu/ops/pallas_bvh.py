@@ -234,8 +234,14 @@ def _traverse(limit, shadow, G, S, exact_order,
             qz = tvx * ae1y - tvy * ae1x
             vv = (dx * qx + dy * qy + dz * qz) * inv_det
             tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
-            ok = (non_par & (uu >= 0.0) & (uu <= 1.0)
-                  & (vv >= 0.0) & (uu + vv <= 1.0) & (tt >= 0.0))
+            # acceptance as one sign test: u>=0 & v>=0 & u+v<=1 & t>=0
+            # == min(u, v, 1-(u+v), t) >= 0 (u<=1 is implied by v>=0 &
+            # u+v<=1, and sign(1-s) matches s<=1 exactly in f32 —
+            # Sterbenz for s in [0.5, 2], magnitude elsewhere).  Saves
+            # ~4 (RB, C) ops per pair in the MT-throughput-bound loop.
+            ok = non_par & (jnp.minimum(
+                jnp.minimum(uu, vv),
+                jnp.minimum(1.0 - (uu + vv), tt)) >= 0.0)
             tt = jnp.where(ok, tt, BIG_T)
 
             tmin_row = jnp.min(tt, axis=1, keepdims=True)      # (RB, 1)
