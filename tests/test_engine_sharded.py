@@ -86,7 +86,9 @@ def test_render_sharded_bounce_level_agrees(data_dir):
     psum, _ = _expected_film(rt, mesh, keys, px, py, SPP)
     got = np.asarray(rt.film.pixel_sum)
     close = np.isclose(got, psum[:real], rtol=1e-4, atol=1e-5)
-    assert close.mean() > 0.99, f"only {close.mean():.4f} elementwise-close"
+    # absolute flip-count bound, not just a 1% fraction (VERDICT r4
+    # weak 6): Monte-Carlo edge flips are isolated rays
+    assert (~close).sum() <= 24, f"{(~close).sum()} of {close.size} mismatch"
     # the flipped rays must be isolated pixels, not a systematic bias
     assert abs(got.mean() - psum[:real].mean()) < 0.02 * abs(psum.mean())
 
